@@ -1,0 +1,81 @@
+"""Exact k-NN (ground truth) — one big tiled matmul + streaming top-k.
+
+Replaces the reference's per-query linear scan with a top-k buffer
+(data_tools/compute_groundtruth.cpp:22-60): on TPU the scan is a sequence of
+(B, d) x (d, C) MXU matmuls over dataset chunks with a running top-k merge,
+driven by ``lax.scan`` so memory stays at one chunk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parlayann_tpu.types import Metric
+from parlayann_tpu.data.pointset import PointSet
+from parlayann_tpu.ops import distance, topk
+from parlayann_tpu.ops.distance import INF
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "n_valid", "chunk"))
+def _exact_knn_device(
+    queries: jax.Array,
+    points: jax.Array,
+    k: int,
+    metric: Metric,
+    n_valid: int,
+    chunk: int,
+):
+    n_pad = points.shape[0]
+    n_chunks = n_pad // chunk
+    chunks = points.reshape(n_chunks, chunk, points.shape[1])
+    b = queries.shape[0]
+
+    def step(carry, xs):
+        run_d, run_i = carry
+        chunk_pts, chunk_idx = xs
+        d = distance.all_pairs(queries, chunk_pts, metric)
+        ids = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        ids = jnp.broadcast_to(ids, d.shape)
+        d = jnp.where(ids < n_valid, d, INF)
+        run_d, run_i = topk.merge_topk(run_d, run_i, d, ids, k)
+        return (run_d, run_i), None
+
+    init = (
+        jnp.full((b, k), INF, dtype=jnp.float32),
+        jnp.zeros((b, k), dtype=jnp.int32),
+    )
+    (dists, ids), _ = jax.lax.scan(
+        step, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32))
+    )
+    return ids, dists
+
+
+def exact_knn(
+    queries: jax.Array | np.ndarray,
+    points: PointSet,
+    k: int,
+    chunk: int = 16384,
+):
+    """Exact top-k for each query row -> (ids (B,k) int32, dists (B,k) f32)."""
+    q = jnp.asarray(queries)
+    n_pad = points.n_pad
+    chunk = min(chunk, n_pad)
+    while n_pad % chunk != 0:
+        chunk //= 2
+    return _exact_knn_device(q, points.data, k, points.metric, points.n, chunk)
+
+
+def compute_groundtruth(
+    base: PointSet, queries: np.ndarray, k: int, query_batch: int = 8192
+):
+    """Host-driver over query batches (compute_groundtruth.cpp:104)."""
+    out_i, out_d = [], []
+    for lo in range(0, len(queries), query_batch):
+        ids, dists = exact_knn(queries[lo : lo + query_batch], base, k)
+        out_i.append(np.asarray(ids))
+        out_d.append(np.asarray(dists))
+    return np.concatenate(out_i), np.concatenate(out_d)

@@ -1,0 +1,127 @@
+"""Batched beam search vs exact oracle on a tiny k-NN graph."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from parlayann_tpu.types import Metric
+from parlayann_tpu.data.pointset import PointSet
+from parlayann_tpu.data.graph import GraphIndexData
+from parlayann_tpu.search import exact
+from parlayann_tpu.search.beam import beam_search_batch, top_k_from_beam
+
+
+def _knn_graph(ps: PointSet, r: int) -> GraphIndexData:
+    """Exact undirected-ish kNN graph as a search substrate."""
+    ids, _ = exact.exact_knn(ps.data[: ps.n], ps, r + 1, chunk=64)
+    ids = np.asarray(ids)
+    nbrs = np.zeros((ps.n, r), dtype=np.int32)
+    for i in range(ps.n):
+        row = [j for j in ids[i] if j != i][:r]
+        nbrs[i, : len(row)] = row
+    degs = np.full(ps.n, r, dtype=np.int32)
+    return GraphIndexData.from_numpy(nbrs, degs)
+
+
+def _recall(found_ids, gt_ids):
+    hits = 0
+    for f, g in zip(found_ids, gt_ids):
+        hits += len(set(f.tolist()) & set(g.tolist()))
+    return hits / gt_ids.size
+
+
+def test_beam_search_recall(rng):
+    n, d, k = 500, 16, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((40, d)).astype(np.float32)
+    ps = PointSet.from_numpy(x)
+    g = _knn_graph(ps, 10)
+    gt_ids, _ = exact.exact_knn(q, ps, k, chunk=64)
+
+    res = beam_search_batch(
+        jnp.asarray(q), ps.data, g.neighbors, g.degrees,
+        jnp.asarray([0], dtype=jnp.int32),
+        metric=Metric.L2, n_valid=n, k=k, L=32,
+    )
+    ids, dists = top_k_from_beam(res, k)
+    ids = np.asarray(ids)
+    assert _recall(ids, np.asarray(gt_ids)) >= 0.9
+    # results are sorted and duplicate-free
+    dd = np.asarray(dists)
+    assert np.all(np.diff(dd, axis=1) >= 0)
+    for row in ids:
+        valid = row[row >= 0]
+        assert len(set(valid.tolist())) == len(valid)
+
+
+def test_beam_search_expand_multi(rng):
+    n, d, k = 400, 12, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    ps = PointSet.from_numpy(x)
+    g = _knn_graph(ps, 8)
+    gt_ids, _ = exact.exact_knn(q, ps, k, chunk=64)
+    res = beam_search_batch(
+        jnp.asarray(q), ps.data, g.neighbors, g.degrees,
+        jnp.asarray([0], dtype=jnp.int32),
+        metric=Metric.L2, n_valid=n, k=k, L=32, expand=4,
+    )
+    ids, _ = top_k_from_beam(res, k)
+    assert _recall(np.asarray(ids), np.asarray(gt_ids)) >= 0.9
+
+
+def test_beam_limit_and_visited(rng):
+    n, d = 300, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    ps = PointSet.from_numpy(x)
+    g = _knn_graph(ps, 8)
+    res = beam_search_batch(
+        jnp.asarray(q), ps.data, g.neighbors, g.degrees,
+        jnp.asarray([0], dtype=jnp.int32),
+        metric=Metric.L2, n_valid=n, k=0, L=16, limit=7,
+        record_visited=True, vmax=16,
+    )
+    nv = np.asarray(res.num_visited)
+    assert np.all(nv <= 7)
+    # visited entries within num_visited are real ids with finite dists
+    for b in range(8):
+        v = np.asarray(res.visited_ids[b, : nv[b]])
+        vd = np.asarray(res.visited_dists[b, : nv[b]])
+        assert np.all((v >= 0) & (v < n))
+        assert np.all(vd < 1e38)
+        assert len(set(v.tolist())) == len(v)  # expanded nodes are unique
+
+
+def test_beam_exclude_self(rng):
+    n, d = 200, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    ps = PointSet.from_numpy(x)
+    g = _knn_graph(ps, 8)
+    qidx = np.arange(20, dtype=np.int32)
+    res = beam_search_batch(
+        ps.data[:20], ps.data, g.neighbors, g.degrees,
+        jnp.asarray([0], dtype=jnp.int32),
+        jnp.asarray(qidx),
+        metric=Metric.L2, n_valid=n, k=0, L=16,
+        exclude_self=True,
+    )
+    ids = np.asarray(res.beam_ids)
+    for b in range(1, 20):  # query 0 is the start point; skip
+        assert qidx[b] not in ids[b]
+
+
+def test_beam_mips(rng):
+    n, d, k = 400, 16, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    ps = PointSet.from_numpy(x, metric=Metric.MIPS)
+    g = _knn_graph(ps, 10)
+    gt_ids, _ = exact.exact_knn(q, ps, k, chunk=64)
+    res = beam_search_batch(
+        jnp.asarray(q), ps.data, g.neighbors, g.degrees,
+        jnp.asarray([0], dtype=jnp.int32),
+        metric=Metric.MIPS, n_valid=n, k=k, L=40,
+    )
+    ids, _ = top_k_from_beam(res, k)
+    assert _recall(np.asarray(ids), np.asarray(gt_ids)) >= 0.85
