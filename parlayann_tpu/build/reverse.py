@@ -1,0 +1,202 @@
+"""Reverse-edge exchange — the bidirect phase of batch insertion.
+
+Reference: vamana/index.h:278-300 — flatten (target, source) pairs,
+``group_by_key`` semisort, then per target either append (if the row stays
+within the degree bound) or robustPrune with the union.
+
+TPU redesign: the semisort becomes one batched sort of the edge list by
+(target, distance); group boundaries come from first-occurrence flags +
+``searchsorted`` counts. Per-target work is then edge-row-centric with
+static shapes:
+
+  * append path (old_deg + count <= R): sort-based set-union of the old row
+    and the new sources (the reference's add_neighbors_without_repeats,
+    index.h:141-147 — order-free because rows are distance-sorted only at
+    the end of build, index.h:180-185).
+  * prune path (overflow): full robustPrune over old-row ∪ new-sources with
+    carried distances — but run under a static *budget* of rows per batch,
+    chosen large enough to cover real batches; overflow rows beyond the
+    budget fall back to sort-truncate-by-distance (HNSW's overflow rule,
+    HNSW.hpp:940-988) and are counted in the returned stats.
+
+Sorting edges by (target, dist) means each group's first ``cap`` members are
+the *closest* new sources, so capping group width loses only the farthest.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from parlayann_tpu.types import Metric
+from parlayann_tpu.ops import distance
+from parlayann_tpu.ops.distance import INF
+from parlayann_tpu.build.prune import robust_prune_chunked, sort_dedup_candidates
+
+
+class ReverseStats(NamedTuple):
+    n_groups: jax.Array  # unique targets touched
+    n_overflow: jax.Array  # targets that needed robustPrune
+    n_fallback: jax.Array  # overflow targets beyond the prune budget
+
+
+def _union_rows(old_ids, old_valid, new_ids, new_valid, n_valid: int, width: int):
+    """Sorted set-union of two padded id rows -> (ids, count), compacted."""
+    B = old_ids.shape[0]
+    C = old_ids.shape[1] + new_ids.shape[1]
+    ids = jnp.concatenate([old_ids, new_ids], axis=1)
+    valid = jnp.concatenate([old_valid, new_valid], axis=1)
+    sent = n_valid + 1 + jnp.arange(C, dtype=jnp.int32)[None, :]
+    key = jnp.where(valid, ids, sent)
+    skey = jax.lax.sort(key, dimension=-1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=bool), skey[:, 1:] == skey[:, :-1]], axis=1
+    )
+    uniq = (skey <= n_valid) & ~dup
+    # compact unique ids to the front
+    ckey = jnp.where(uniq, skey, sent)
+    ckey = jax.lax.sort(
+        (jnp.where(uniq, 0, 1).astype(jnp.int32), ckey), num_keys=1, is_stable=True
+    )[1]
+    return ckey[:, :width], jnp.sum(uniq, axis=1).astype(jnp.int32)
+
+
+def exchange_reverse_edges(
+    nbrs: jax.Array,  # (n_pad, R)
+    degs: jax.Array,  # (n_pad,)
+    batch_ids: jax.Array,  # (B,) source vertices (-1 = inactive)
+    sel_ids: jax.Array,  # (B, R) their new out-edges (-1 padded)
+    sel_dists: jax.Array,  # (B, R) edge distances (symmetric metrics)
+    points_data: jax.Array,
+    alpha,
+    *,
+    R: int,
+    metric: Metric,
+    n_valid: int,
+    cap: int = 0,
+    prune_budget: int = 0,
+    chunk: int = 4096,
+):
+    """Apply reverse edges; returns (nbrs, degs, ReverseStats)."""
+    B = batch_ids.shape[0]
+    M = B * R
+    n_pad = nbrs.shape[0]
+    cap = cap if cap > 0 else R
+    prune_budget = prune_budget if prune_budget > 0 else max(2 * B, 1024)
+    prune_budget = min(prune_budget, M)
+
+    tgt = sel_ids.reshape(M)
+    src = jnp.repeat(batch_ids, R)
+    dist = sel_dists.reshape(M)
+    valid = (tgt >= 0) & (src >= 0) & (dist < INF)
+    tgt_key = jnp.where(valid, tgt, n_pad).astype(jnp.int32)
+
+    # semisort: one batched sort by (target, distance) (index.h:278-282)
+    s_tgt, s_dist, s_src = jax.lax.sort(
+        (tgt_key, dist, src), num_keys=2, is_stable=True
+    )
+    s_valid = s_tgt < n_pad
+
+    pos = jnp.arange(M, dtype=jnp.int32)
+    fo = jnp.concatenate([jnp.ones(1, bool), s_tgt[1:] != s_tgt[:-1]]) & s_valid
+    left = jnp.searchsorted(s_tgt, s_tgt, side="left").astype(jnp.int32)
+    right = jnp.searchsorted(s_tgt, s_tgt, side="right").astype(jnp.int32)
+    count = right - left  # true group size
+    old_deg_all = jnp.take(degs, jnp.clip(s_tgt, 0, n_pad - 1), axis=0)
+    total = old_deg_all + count
+    overflow = total > R
+
+    prio = jnp.where(fo & overflow, 0, jnp.where(fo, 1, 2)).astype(jnp.int32)
+    _, perm = jax.lax.sort((prio, pos), num_keys=1, is_stable=True)
+    inv = jnp.zeros(M, jnp.int32).at[perm].set(pos)
+    fallback = (prio == 0) & (inv >= prune_budget)
+
+    stats = ReverseStats(
+        n_groups=jnp.sum(fo),
+        n_overflow=jnp.sum(fo & overflow),
+        n_fallback=jnp.sum(fallback),
+    )
+
+    jcol = jnp.arange(cap, dtype=jnp.int32)[None, :]
+
+    def group_members(rows):
+        """(Q,) sorted-positions -> capped group (src ids, dists, valid)."""
+        gidx = jnp.clip(rows[:, None] + jcol, 0, M - 1)
+        g_src = s_src[gidx]
+        g_dist = s_dist[gidx]
+        ok = (jcol < jnp.minimum(count[rows], cap)[:, None]) & (
+            (rows[:, None] + jcol) < M
+        )
+        return g_src, g_dist, ok
+
+    # ---------- append + fallback pass over every edge row (chunked) ----------
+    pad_m = (-M) % chunk
+    rows_all = jnp.concatenate([pos, jnp.full(pad_m, M - 1, jnp.int32)]) if pad_m else pos
+    nch = (M + pad_m) // chunk
+
+    def append_chunk(carry, rows):
+        nbrs, degs = carry
+        t = s_tgt[rows]
+        is_app = (prio[rows] == 1) & fo[rows]
+        is_fb = fallback[rows]
+        g_src, g_dist, g_ok = group_members(rows)
+        old_row = jnp.take(nbrs, jnp.clip(t, 0, n_pad - 1), axis=0)  # (c, R)
+        odeg = jnp.take(degs, jnp.clip(t, 0, n_pad - 1), axis=0)
+        old_ok = jnp.arange(R, dtype=jnp.int32)[None, :] < odeg[:, None]
+
+        # append: set-union, fits in R by construction (index.h:288-291)
+        app_ids, app_deg = _union_rows(old_row, old_ok, g_src, g_ok, n_valid, R)
+
+        # fallback: union sorted by distance, truncated to R
+        t_vec = jnp.take(points_data, jnp.clip(t, 0, points_data.shape[0] - 1), axis=0)
+        old_vecs = jnp.take(
+            points_data, jnp.clip(old_row, 0, points_data.shape[0] - 1), axis=0
+        )
+        old_dists = jnp.where(
+            old_ok, distance.gathered(t_vec, old_vecs, metric), INF
+        )
+        cand_ids = jnp.concatenate([old_row, g_src], axis=1)
+        cand_d = jnp.concatenate([old_dists, jnp.where(g_ok, g_dist, INF)], axis=1)
+        fb_ids, fb_d = sort_dedup_candidates(cand_ids, cand_d, n_valid)
+        fb_ids = jnp.where(fb_d[:, :R] < INF, fb_ids[:, :R], -1)
+        fb_deg = jnp.sum(fb_ids >= 0, axis=1).astype(jnp.int32)
+
+        write = is_app | is_fb
+        out_ids = jnp.where(is_fb[:, None], fb_ids, app_ids)
+        out_deg = jnp.where(is_fb, fb_deg, app_deg)
+        wt = jnp.where(write, t, n_pad)
+        nbrs = nbrs.at[wt].set(out_ids, mode="drop")
+        degs = degs.at[wt].set(out_deg, mode="drop")
+        return (nbrs, degs), None
+
+    (nbrs, degs), _ = jax.lax.scan(
+        append_chunk, (nbrs, degs), rows_all.reshape(nch, chunk)
+    )
+
+    # ---------- prune pass over the budgeted overflow rows ----------
+    prows = perm[:prune_budget]
+    pmask = prio[prows] == 0
+    t = s_tgt[prows]
+    p_ids = jnp.where(pmask, t, -1)
+    g_src, g_dist, g_ok = group_members(prows)
+    old_row = jnp.take(nbrs, jnp.clip(t, 0, n_pad - 1), axis=0)
+    odeg = jnp.take(degs, jnp.clip(t, 0, n_pad - 1), axis=0)
+    old_ok = jnp.arange(R, dtype=jnp.int32)[None, :] < odeg[:, None]
+    t_vec = jnp.take(points_data, jnp.clip(t, 0, points_data.shape[0] - 1), axis=0)
+    old_vecs = jnp.take(
+        points_data, jnp.clip(old_row, 0, points_data.shape[0] - 1), axis=0
+    )
+    old_dists = jnp.where(old_ok, distance.gathered(t_vec, old_vecs, metric), INF)
+    cand_ids = jnp.concatenate([old_row, g_src], axis=1)
+    cand_d = jnp.concatenate([old_dists, jnp.where(g_ok, g_dist, INF)], axis=1)
+    pr = robust_prune_chunked(
+        p_ids, cand_ids, cand_d, points_data, alpha,
+        R=R, metric=metric, n_valid=n_valid, chunk=min(chunk, prune_budget),
+    )
+    wt = jnp.where(pmask, t, n_pad)
+    nbrs = nbrs.at[wt].set(pr.ids, mode="drop")
+    degs = degs.at[wt].set(pr.degree, mode="drop")
+
+    return nbrs, degs, stats

@@ -1,0 +1,270 @@
+"""Vamana / DiskANN builder — batch-synchronous prefix-doubling insertion.
+
+Reference: vamana/index.h:150-316 (build_index / batch_insert) and
+vamana/neighbors.h:113-186 (driver). The reference's batches are already
+read-phase/write-phase separated (the paper's determinism trick), so each
+batch maps to ONE jitted device step:
+
+  batched beam search (record visited)       index.h:247-266
+    -> batched robustPrune (forward edges)   index.h:63-120
+    -> scatter forward rows                  index.h:268-270
+    -> reverse-edge exchange                 index.h:278-300
+
+Host code only slices the shuffled insert order into the prefix-doubling
+schedule (1, 2, 4, ..., then fixed 0.02*n-capped batches — index.h:206-233)
+and pads each batch to a power-of-two so the step compiles O(log n) times.
+Passes: all but the last run with alpha=1.0, the last with BP.alpha
+(index.h:171-176). Rows are distance-sorted once at the end
+(index.h:180-185).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parlayann_tpu.types import BuildParams, Metric
+from parlayann_tpu.data.pointset import PointSet
+from parlayann_tpu.data.graph import GraphIndexData
+from parlayann_tpu.ops import distance
+from parlayann_tpu.ops.distance import INF
+from parlayann_tpu.search.beam import beam_search_batch
+from parlayann_tpu.build.prune import robust_prune_chunked
+from parlayann_tpu.build.reverse import exchange_reverse_edges
+
+
+class BuildStats(NamedTuple):
+    build_time: float
+    beam_time: float
+    reverse_time: float
+    total_visited: int
+    total_cmps: int
+    n_fallback: int
+
+
+@partial(
+    jax.jit,
+    static_argnames=("R", "L", "vmax", "metric", "n_valid", "expand", "chunk"),
+    donate_argnums=(0, 1),
+)
+def _insert_batch(
+    nbrs,
+    degs,
+    points_data,
+    batch_ids,
+    alpha,
+    start,
+    *,
+    R: int,
+    L: int,
+    vmax: int,
+    metric: Metric,
+    n_valid: int,
+    expand: int = 1,
+    chunk: int = 2048,
+):
+    B = batch_ids.shape[0]
+    n_pad = nbrs.shape[0]
+    safe_ids = jnp.clip(batch_ids, 0, points_data.shape[0] - 1)
+    queries = jnp.take(points_data, safe_ids, axis=0)
+
+    # read phase: beam search from the start point, k=0 (no cut), recording
+    # the expanded/visited list as prune candidates (index.h:251-262)
+    res = beam_search_batch(
+        queries,
+        points_data,
+        nbrs,
+        degs,
+        start,
+        batch_ids,
+        metric=metric,
+        n_valid=n_valid,
+        k=0,
+        L=L,
+        limit=vmax,
+        expand=expand,
+        record_visited=True,
+        vmax=vmax,
+        exclude_self=True,
+    )
+
+    # forward prune: candidates = visited  U  current out-edges (add=true,
+    # index.h:70-76 — rows are non-empty on passes >= 2)
+    old_row = jnp.take(nbrs, safe_ids, axis=0)
+    odeg = jnp.take(degs, safe_ids, axis=0)
+    old_ok = jnp.arange(R, dtype=jnp.int32)[None, :] < odeg[:, None]
+    old_vecs = jnp.take(
+        points_data, jnp.clip(old_row, 0, points_data.shape[0] - 1), axis=0
+    )
+    old_d = jnp.where(old_ok, distance.gathered(queries, old_vecs, metric), INF)
+    vcount = jnp.arange(vmax, dtype=jnp.int32)[None, :] < res.num_visited[:, None]
+    cand_ids = jnp.concatenate([res.visited_ids, old_row], axis=1)
+    cand_d = jnp.concatenate(
+        [jnp.where(vcount, res.visited_dists, INF), old_d], axis=1
+    )
+    pr = robust_prune_chunked(
+        batch_ids, cand_ids, cand_d, points_data, alpha,
+        R=R, metric=metric, n_valid=n_valid, chunk=chunk,
+    )
+
+    # write phase: scatter forward rows (index.h:268-270)
+    wt = jnp.where(batch_ids >= 0, batch_ids, n_pad)
+    nbrs = nbrs.at[wt].set(pr.ids, mode="drop")
+    degs = degs.at[wt].set(pr.degree, mode="drop")
+
+    # bidirect + conditional prune (index.h:278-300)
+    nbrs, degs, rstats = exchange_reverse_edges(
+        nbrs, degs, batch_ids, pr.ids, pr.dists, points_data, alpha,
+        R=R, metric=metric, n_valid=n_valid, chunk=chunk,
+    )
+    tot_vis = jnp.sum(res.num_visited)
+    tot_cmp = jnp.sum(res.dist_cmps)
+    return nbrs, degs, (tot_vis, tot_cmp, rstats.n_fallback)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("R", "metric", "chunk"),
+    donate_argnums=(0,),
+)
+def _sort_rows_by_distance(nbrs, degs, points_data, *, R, metric, chunk=8192):
+    """Final per-row sort of neighbors by distance (index.h:180-185)."""
+    n_pad = nbrs.shape[0]
+    nch = n_pad // chunk if n_pad % chunk == 0 else (n_pad // chunk + 1)
+    pad = nch * chunk - n_pad
+
+    rows_all = jnp.arange(n_pad + pad, dtype=jnp.int32) % n_pad
+
+    def one_chunk(carry, rows):
+        nbrs = carry
+        row = jnp.take(nbrs, rows, axis=0)
+        deg = jnp.take(degs, rows, axis=0)
+        ok = jnp.arange(R, dtype=jnp.int32)[None, :] < deg[:, None]
+        pvec = jnp.take(points_data, rows, axis=0)
+        nvec = jnp.take(points_data, jnp.clip(row, 0, points_data.shape[0] - 1), axis=0)
+        d = jnp.where(ok, distance.gathered(pvec, nvec, metric), INF)
+        sd, srow = jax.lax.sort((d, row), num_keys=1, is_stable=True)
+        nbrs = nbrs.at[rows].set(srow)
+        return nbrs, None
+
+    nbrs, _ = jax.lax.scan(
+        one_chunk, nbrs, rows_all.reshape(nch, chunk)
+    )
+    return nbrs
+
+
+def batch_schedule(m: int, n: int, max_fraction: float = 0.02, base: float = 2.0):
+    """Prefix-doubling batch boundaries (index.h:206-233): [2^i-1, 2^{i+1}-1)
+    until the 0.02n / 1M cap, then fixed-size batches."""
+    max_batch = min(int(max_fraction * n), 1_000_000)
+    if max_batch == 0:
+        max_batch = n
+    out = []
+    inc, count = 0, 0
+    while count < m:
+        if base**inc <= max_batch:
+            floor = int(base**inc) - 1
+            ceiling = min(int(base ** (inc + 1)) - 1, m)
+            count = ceiling
+        else:
+            floor = count
+            ceiling = min(count + max_batch, m)
+            count = ceiling
+        if ceiling > floor:
+            out.append((floor, ceiling))
+        inc += 1
+    return out, max_batch
+
+
+def _pad_pow2(ids: np.ndarray, cap: int) -> np.ndarray:
+    b = len(ids)
+    size = 1
+    while size < b:
+        size *= 2
+    size = min(size, cap) if cap >= b else size
+    if size < b:
+        size = b
+    out = np.full(size, -1, dtype=np.int32)
+    out[:b] = ids
+    return out
+
+
+def build_vamana_graph(
+    points: PointSet,
+    bp: BuildParams,
+    verbose: bool = False,
+) -> tuple[GraphIndexData, BuildStats]:
+    """Build a Vamana graph over ``points``. Returns (graph, stats)."""
+    n = points.n
+    R, L = bp.R, bp.L
+    vmax = max(2 * L, R + 16)
+    # graph padding aligned with the point padding
+    nbrs = jnp.zeros((points.n_pad, R), jnp.int32)
+    degs = jnp.zeros((points.n_pad,), jnp.int32)
+
+    rng = np.random.default_rng(bp.seed)
+    start = jnp.zeros((1,), dtype=jnp.int32)  # set_start (index.h:143)
+
+    t0 = time.perf_counter()
+    tot_vis = tot_cmp = tot_fb = 0
+    sched, max_batch = batch_schedule(n, n, bp.batch_cap_frac)
+    for p in range(bp.num_passes):
+        alpha = bp.alpha if p == bp.num_passes - 1 else 1.0
+        order = rng.permutation(n).astype(np.int32)
+        for bi, (lo, hi) in enumerate(sched):
+            batch = _pad_pow2(order[lo:hi], max_batch)
+            nbrs, degs, (v, c, fb) = _insert_batch(
+                nbrs,
+                degs,
+                points.data,
+                jnp.asarray(batch),
+                jnp.float32(alpha),
+                start,
+                R=R,
+                L=L,
+                vmax=vmax,
+                metric=points.metric,
+                n_valid=n,
+            )
+            tot_vis += int(v)
+            tot_cmp += int(c)
+            tot_fb += int(fb)
+            if verbose and bi % 8 == 0:
+                print(f"pass {p}: batch {bi+1}/{len(sched)} ({hi}/{n})", flush=True)
+
+    nbrs = _sort_rows_by_distance(
+        nbrs, degs, points.data, R=R, metric=points.metric
+    )
+    jax.block_until_ready(nbrs)
+    dt = time.perf_counter() - t0
+    graph = GraphIndexData(neighbors=nbrs, degrees=degs, n=n, max_degree=R)
+    stats = BuildStats(dt, 0.0, 0.0, tot_vis, tot_cmp, tot_fb)
+    if verbose:
+        avg, mx = graph.stats()
+        print(f"Vamana build: {dt:.2f}s  avg/max degree {avg:.2f}/{mx}  "
+              f"visited {tot_vis}  cmps {tot_cmp}  fallback {tot_fb}")
+    return graph, stats
+
+
+def build_vamana_index(
+    data,
+    metric: Metric = Metric.L2,
+    R: int = 64,
+    L: int = 128,
+    alpha: float = 1.2,
+    two_pass: bool = True,
+    verbose: bool = False,
+    seed: int = 0,
+):
+    """diskannpy-style convenience wrapper (python/builder.cpp:60-87)."""
+    ps = data if isinstance(data, PointSet) else PointSet.from_numpy(
+        np.asarray(data), metric=metric
+    )
+    bp = BuildParams(R=R, L=L, alpha=alpha, num_passes=2 if two_pass else 1, seed=seed)
+    graph, stats = build_vamana_graph(ps, bp, verbose=verbose)
+    return graph, ps, stats
