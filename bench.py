@@ -1,0 +1,102 @@
+"""Benchmark: Vamana build + search on synthetic SIFT-like data (real TPU).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): ParlayANN Vamana on SIFT-100K, 72 cores — 1.15M QPS
+at recall@10 = 0.958, build 0.81 s. Here: clustered synthetic 100K x 128
+float32 (no network egress for real SIFT), same graph parameters
+(R=32, L=64, alpha=1.2, two passes), 10K queries, beam sweep; the reported
+value is max batched QPS at recall@10 >= 0.95 on one chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    try:
+        cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is best-effort
+        log("compile cache unavailable:", e)
+
+    from parlayann_tpu.types import BuildParams, Metric
+    from parlayann_tpu.data.pointset import PointSet
+    from parlayann_tpu.build.vamana import build_vamana_graph
+    from parlayann_tpu.index import Index
+    from parlayann_tpu.search import exact
+    from parlayann_tpu.harness.recall import compute_recall
+    from parlayann_tpu.utils import synthetic
+
+    n = int(os.environ.get("BENCH_N", 100_000))
+    d = int(os.environ.get("BENCH_D", 128))
+    nq = int(os.environ.get("BENCH_Q", 10_000))
+    k = 10
+
+    log(f"devices: {jax.devices()}")
+    log(f"dataset: {n}x{d}, {nq} queries")
+    X, Q = synthetic.clustered(n, d, n_queries=nq, n_clusters=max(64, n // 100),
+                               cluster_std=0.35, seed=7)
+    ps = PointSet.from_numpy(X)
+
+    t0 = time.perf_counter()
+    gt_ids, gt_dists = exact.compute_groundtruth(ps, Q, 2 * k)
+    log(f"ground truth: {time.perf_counter()-t0:.2f}s")
+
+    bp = BuildParams(R=32, L=64, alpha=1.2, num_passes=2)
+    t0 = time.perf_counter()
+    graph, stats = build_vamana_graph(ps, bp, verbose=False)
+    build_time = time.perf_counter() - t0
+    avg_deg, max_deg = graph.stats()
+    log(f"build: {build_time:.2f}s (kernel {stats.build_time:.2f}s), "
+        f"deg {avg_deg:.2f}/{max_deg}, fallback {stats.n_fallback}")
+
+    idx = Index(points=ps, graph=graph)
+    best_qps, best_rec, best_beam = 0.0, 0.0, 0
+    results = []
+    for beam in [10, 12, 15, 18, 22, 27, 33, 40, 50, 65, 85, 110, 150]:
+        ids, dists, res, dt = idx.batch_search_timed(Q, k=k, beam_size=beam)
+        rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, k)
+        qps = nq / dt
+        results.append((beam, rec, qps))
+        log(f"  Q={beam:4d} recall={rec:.4f} QPS={qps:,.0f} "
+            f"cmps={np.asarray(res.dist_cmps).mean():.0f}")
+        if rec >= 0.95 and qps > best_qps:
+            best_qps, best_rec, best_beam = qps, rec, beam
+        if rec > 0.995:
+            break
+
+    baseline_qps = 1.15e6  # BASELINE.md: 72-core @ recall .958
+    out = {
+        "metric": "vamana_qps_at_recall0.95_synth100k",
+        "value": round(best_qps, 1),
+        "unit": "QPS/chip",
+        "vs_baseline": round(best_qps / baseline_qps, 4),
+        "extras": {
+            "recall": round(best_rec, 4),
+            "beam": best_beam,
+            "build_time_s": round(build_time, 2),
+            "build_vs_baseline_s": 0.81,
+            "avg_degree": round(avg_deg, 2),
+            "sweep": [(b, round(r, 4), round(q, 1)) for b, r, q in results],
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

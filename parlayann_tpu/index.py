@@ -1,0 +1,107 @@
+"""Index — the query-side handle (graph + points + quantized tiers).
+
+Parity target: ``GraphIndex`` in python/graph_index.cpp:82-305 (load points
++ graph, build quantized side-ranges, batch_search / single_search /
+check_recall) and the diskannpy-style wrappers in python/wrapper.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parlayann_tpu.types import Metric, QueryParams
+from parlayann_tpu.data.pointset import PointSet
+from parlayann_tpu.data.graph import GraphIndexData
+from parlayann_tpu.ops import quantize
+from parlayann_tpu.search.beam import beam_search_batch, top_k_from_beam
+
+
+@dataclasses.dataclass
+class Index:
+    points: PointSet
+    graph: GraphIndexData
+    start_point: int = 0
+    qpoints: Optional[PointSet] = None  # 1-byte tier (graph_index.cpp:86-101)
+
+    @staticmethod
+    def load(
+        graph_path: str,
+        data_path: str,
+        metric: Metric = Metric.L2,
+        dtype=None,
+        quantize_bits: int = 0,
+    ) -> "Index":
+        ps = PointSet.from_file(data_path, dtype=dtype, metric=metric)
+        g = GraphIndexData.load(graph_path)
+        idx = Index(points=ps, graph=g)
+        if quantize_bits:
+            idx.qpoints = quantize.quantize_pointset(ps, bits=quantize_bits)
+        return idx
+
+    def save(self, graph_path: str) -> None:
+        self.graph.save(graph_path)
+
+    # ------------------------------------------------------------------
+    def batch_search(
+        self,
+        queries,
+        k: int = 10,
+        beam_size: int = 128,
+        cut: float = 1.35,
+        limit: Optional[int] = None,
+        degree_limit: Optional[int] = None,
+        expand: int = 1,
+        quantized: bool = False,
+    ):
+        """Search all query rows -> (ids (B,k), dists (B,k)).
+
+        Mirrors GraphIndex::batch_search (graph_index.cpp:192-216):
+        QueryParams(k, Q, cut, visit_limit, degree_limit).
+        """
+        qp = QueryParams(
+            k=k, beamSize=beam_size, cut=cut, limit=limit, degree_limit=degree_limit
+        ).resolved(self.graph.max_degree, self.points.n)
+        ps = self.qpoints if (quantized and self.qpoints is not None) else self.points
+        q = jnp.asarray(np.asarray(queries))
+        q = quantize.translate_query(q, ps)
+        res = beam_search_batch(
+            q,
+            ps.data,
+            self.graph.neighbors,
+            self.graph.degrees,
+            jnp.asarray([self.start_point], dtype=jnp.int32),
+            metric=ps.metric,
+            n_valid=ps.n,
+            k=k,
+            L=max(qp.beamSize, k),
+            cut=qp.cut,
+            limit=qp.limit,
+            degree_limit=qp.degree_limit,
+            expand=expand,
+        )
+        ids, dists = top_k_from_beam(res, k)
+        return ids, dists, res
+
+    def batch_search_timed(self, queries, warmup: bool = True, **kw):
+        """Timed steady-state search (compile excluded) -> (ids, dists, res,
+        seconds)."""
+        if warmup:
+            out = self.batch_search(queries, **kw)
+            jax.block_until_ready(out[0])
+        t0 = time.perf_counter()
+        out = self.batch_search(queries, **kw)
+        jax.block_until_ready(out[0])
+        dt = time.perf_counter() - t0
+        return (*out, dt)
+
+    def single_search(self, query, k: int = 10, beam_size: int = 128, **kw):
+        ids, dists, _ = self.batch_search(
+            np.asarray(query)[None, :], k=k, beam_size=beam_size, **kw
+        )
+        return np.asarray(ids[0]), np.asarray(dists[0])

@@ -1,0 +1,45 @@
+"""Sharded build + search over the 8-device virtual CPU mesh."""
+
+import numpy as np
+
+from parlayann_tpu.types import BuildParams, Metric
+from parlayann_tpu.data.pointset import PointSet
+from parlayann_tpu.parallel.mesh import make_mesh
+from parlayann_tpu.parallel.sharded import build_sharded_vamana, sharded_search
+from parlayann_tpu.search import exact
+
+
+def test_sharded_build_and_search(rng):
+    n, d, k = 800, 16, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((32, d)).astype(np.float32)
+    mesh = make_mesh(8, data_axis=4)  # 4 dataset shards x 2 query shards
+    bp = BuildParams(R=12, L=24, alpha=1.2, num_passes=1, batch_cap_frac=0.5)
+    idx = build_sharded_vamana(X, mesh, bp)
+    assert idx.rows_per_shard == 200
+
+    ids, dists = sharded_search(idx, Q, k=k, beam_size=32)
+    assert ids.shape == (32, k)
+    # global ids valid and unique per row
+    for row in ids:
+        v = row[row >= 0]
+        assert np.all(v < n)
+        assert len(set(v.tolist())) == len(v)
+
+    gt, _ = exact.exact_knn(Q, PointSet.from_numpy(X), k, chunk=128)
+    gt = np.asarray(gt)
+    hits = sum(len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt))
+    recall = hits / gt.size
+    # 4 independent shard graphs searched exhaustively-ish -> high recall
+    assert recall >= 0.85, recall
+
+
+def test_sharded_uneven_rows(rng):
+    n, d = 500, 8  # 500 over 4 shards -> nl=125, last shard padded
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((8, d)).astype(np.float32)
+    mesh = make_mesh(8, data_axis=4)
+    bp = BuildParams(R=8, L=16, alpha=1.2, num_passes=1, batch_cap_frac=0.5)
+    idx = build_sharded_vamana(X, mesh, bp)
+    ids, _ = sharded_search(idx, Q, k=5, beam_size=16)
+    assert np.all(ids < n)
