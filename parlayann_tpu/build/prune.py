@@ -57,6 +57,8 @@ def _occlusion_loop(cand_ids, cand_dists, cand_vecs, alpha, R: int, metric: Metr
     B, C = cand_ids.shape
     brow = jnp.arange(B, dtype=jnp.int32)
 
+    pos_c = jnp.arange(C, dtype=jnp.int32)[None, :]
+
     def body(r, state):
         elim, sel_ids, sel_dists = state
         alive = ~elim
@@ -69,8 +71,8 @@ def _occlusion_loop(cand_ids, cand_dists, cand_vecs, alpha, R: int, metric: Metr
         star_vec = cand_vecs[brow, star]  # (B, d)
         d_sp = distance.gathered(star_vec, cand_vecs, metric)  # (B, C)
         occl = alpha * d_sp <= cand_dists  # index.h:111-113
-        elim = elim | (occl & any_alive[:, None])
-        elim = elim.at[brow, star].set(True)
+        # mark star + occluded; pure masks (scatters are slow on TPU)
+        elim = elim | ((occl | (pos_c == star[:, None])) & any_alive[:, None])
         return elim, sel_ids, sel_dists
 
     elim0 = cand_dists >= INF

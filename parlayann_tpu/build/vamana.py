@@ -89,8 +89,8 @@ def _insert_batch(
         limit=vmax,
         expand=expand,
         record_visited=True,
-        vmax=vmax,
         exclude_self=True,
+        use_inline=False,
     )
 
     # forward prune: candidates = visited  U  current out-edges (add=true,
@@ -102,11 +102,9 @@ def _insert_batch(
         points_data, jnp.clip(old_row, 0, points_data.shape[0] - 1), axis=0
     )
     old_d = jnp.where(old_ok, distance.gathered(queries, old_vecs, metric), INF)
-    vcount = jnp.arange(vmax, dtype=jnp.int32)[None, :] < res.num_visited[:, None]
+    # visited_dists already carries INF in unused slots (scan-stacked order)
     cand_ids = jnp.concatenate([res.visited_ids, old_row], axis=1)
-    cand_d = jnp.concatenate(
-        [jnp.where(vcount, res.visited_dists, INF), old_d], axis=1
-    )
+    cand_d = jnp.concatenate([res.visited_dists, old_d], axis=1)
     pr = robust_prune_chunked(
         batch_ids, cand_ids, cand_d, points_data, alpha,
         R=R, metric=metric, n_valid=n_valid, chunk=chunk,

@@ -28,6 +28,18 @@ class Index:
     graph: GraphIndexData
     start_point: int = 0
     qpoints: Optional[PointSet] = None  # 1-byte tier (graph_index.cpp:86-101)
+    # inline neighbor vectors (n, R, d) — HBM-bandwidth layout for the Pallas
+    # expansion kernel; built lazily, costs R x points memory
+    inline: Optional[object] = None
+    use_inline: bool = True
+
+    def build_inline_cache(self):
+        from parlayann_tpu.ops.pallas.expand import build_inline
+
+        if self.inline is None:
+            src = self.qpoints if self.qpoints is not None else self.points
+            self.inline = build_inline(src.data, self.graph.neighbors)
+        return self.inline
 
     @staticmethod
     def load(
@@ -70,12 +82,15 @@ class Index:
         ps = self.qpoints if (quantized and self.qpoints is not None) else self.points
         q = jnp.asarray(np.asarray(queries))
         q = quantize.translate_query(q, ps)
+        inline = self.build_inline_cache() if self.use_inline else None
         res = beam_search_batch(
             q,
             ps.data,
             self.graph.neighbors,
             self.graph.degrees,
             jnp.asarray([self.start_point], dtype=jnp.int32),
+            None,
+            inline,
             metric=ps.metric,
             n_valid=ps.n,
             k=k,
@@ -84,6 +99,7 @@ class Index:
             limit=qp.limit,
             degree_limit=qp.degree_limit,
             expand=expand,
+            use_inline=self.use_inline,
         )
         ids, dists = top_k_from_beam(res, k)
         return ids, dists, res

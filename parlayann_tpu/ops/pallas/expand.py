@@ -1,0 +1,168 @@
+"""Pallas fused frontier-expansion kernel.
+
+The hot op of beam search: for B queries, gather each query's expanded
+vertex's neighborhood vectors and compute all neighbor distances. XLA's
+row gather runs far below HBM bandwidth on TPU (measured ~30-40 GB/s for
+512B rows); this kernel instead reads *inline neighbor vectors* — a
+``(n, R, d)`` array holding each vertex's R neighbor vectors contiguously
+(the DiskANN SSD-layout idea reapplied to HBM: trade R-fold capacity for
+sequential 16-64KB reads) — with a manually multi-buffered DMA pipeline,
+and fuses the distance computation into the same kernel.
+
+Layout contract: ``inline[v, j]`` is the vector of the j-th neighbor of
+vertex v (built by ``build_inline`` from graph + points). Distances for
+slots >= degree are garbage and must be masked by the caller (which
+already masks by degree).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from parlayann_tpu.types import Metric
+
+
+def build_inline(points_data: jax.Array, nbrs: jax.Array, dtype=None) -> jax.Array:
+    """(n_pad, d), (n_pad, R) -> (n_pad, R, d) inline neighbor vectors.
+
+    Built by chunked gather (one pass over the graph); refreshed once
+    post-build for search (or per batch during build).
+    """
+    n_pad, R = nbrs.shape
+    d = points_data.shape[1]
+    dt = dtype or points_data.dtype
+
+    def chunk_fn(rows):
+        v = jnp.take(points_data, jnp.clip(rows, 0, n_pad - 1), axis=0)
+        return v.astype(dt)
+
+    chunk = max(1, 2_000_000 // max(R, 1))
+    chunk = min(chunk, n_pad)
+    while n_pad % chunk:
+        chunk -= 1
+    return jax.lax.map(
+        chunk_fn, nbrs.reshape(n_pad // chunk, chunk, R)
+    ).reshape(n_pad, R, d)
+
+
+def _expand_kernel(ids_ref, q_ref, inline_hbm, out_ref, vmem, sems, *, R, d,
+                   n_buf, block_b, metric):
+    """Grid: (B // block_b,). For each query in the block, DMA its row of
+    inline neighbor vectors HBM->VMEM (n_buf in flight), compute distances.
+    """
+    bi = pl.program_id(0)
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            inline_hbm.at[ids_ref[bi * block_b + i]],
+            vmem.at[slot],
+            sems.at[slot],
+        )
+
+    for s in range(n_buf):  # warm-up: fill the pipeline
+        get_dma(s, s).start()
+
+    def loop(i, _):
+        slot = jax.lax.rem(i, n_buf)
+        get_dma(slot, i).wait()
+        row = vmem[slot].astype(jnp.float32)  # (R, d)
+        q = q_ref[i, :].astype(jnp.float32)  # (d,)
+        if metric is Metric.MIPS:
+            dist = -jnp.sum(row * q[None, :], axis=1)
+        else:
+            diff = row - q[None, :]
+            dist = jnp.sum(diff * diff, axis=1)
+        out_ref[i, :] = dist
+
+        nxt = i + n_buf
+
+        @pl.when(nxt < block_b)
+        def _():
+            get_dma(slot, nxt).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, block_b, loop, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "block_b", "n_buf", "interpret")
+)
+def expand_distances(
+    inline: jax.Array,  # (n_pad, R, d)
+    expand_ids: jax.Array,  # (B,) vertex to expand per query (clipped valid)
+    queries: jax.Array,  # (B, d)
+    *,
+    metric: Metric,
+    block_b: int = 256,
+    n_buf: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> (B, R) distances from query b to the R inline neighbors of
+    expand_ids[b]. Caller masks invalid slots."""
+    B0, d = queries.shape
+    R = inline.shape[1]
+    # pad the batch so the query block tiles cleanly (sublane multiple of 8)
+    block_b = max(8, min(block_b, ((B0 + 7) // 8) * 8))
+    B = ((B0 + block_b - 1) // block_b) * block_b
+    if B != B0:
+        queries = jnp.pad(queries, ((0, B - B0), (0, 0)))
+        expand_ids = jnp.pad(expand_ids, (0, B - B0))
+    n_buf = min(n_buf, block_b)
+    grid = (B // block_b,)
+    if jax.default_backend() != "tpu":
+        interpret = True  # CPU tests exercise the same kernel semantics
+
+    kernel = functools.partial(
+        _expand_kernel, R=R, d=d, n_buf=n_buf, block_b=block_b, metric=metric,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (block_b, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # inline stays in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (block_b, R), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_buf, R, d), inline.dtype),
+                pltpu.SemaphoreType.DMA((n_buf,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, R), jnp.float32),
+        interpret=interpret,
+    )(expand_ids, queries, inline)[:B0]
+
+
+def expand_distances_multi(
+    inline: jax.Array,
+    expand_ids: jax.Array,  # (B, E)
+    queries: jax.Array,  # (B, d)
+    *,
+    metric: Metric,
+    block_b: int = 256,
+    n_buf: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-expand variant -> (B, E, R): E expansions per query, flattened
+    through the single-expansion kernel with repeated queries."""
+    B, E = expand_ids.shape
+    d = queries.shape[1]
+    qrep = jnp.repeat(queries, E, axis=0)  # (B*E, d)
+    flat = expand_ids.reshape(B * E)
+    dist = expand_distances(
+        inline, flat, qrep, metric=metric, block_b=block_b, n_buf=n_buf,
+        interpret=interpret,
+    )
+    return dist.reshape(B, E, inline.shape[1])

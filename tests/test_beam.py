@@ -79,7 +79,7 @@ def test_beam_limit_and_visited(rng):
         jnp.asarray(q), ps.data, g.neighbors, g.degrees,
         jnp.asarray([0], dtype=jnp.int32),
         metric=Metric.L2, n_valid=n, k=0, L=16, limit=7,
-        record_visited=True, vmax=16,
+        record_visited=True,
     )
     nv = np.asarray(res.num_visited)
     assert np.all(nv <= 7)
@@ -125,3 +125,28 @@ def test_beam_mips(rng):
     )
     ids, _ = top_k_from_beam(res, k)
     assert _recall(np.asarray(ids), np.asarray(gt_ids)) >= 0.85
+
+
+def test_beam_inline_matches_gather(rng):
+    from parlayann_tpu.ops.pallas.expand import build_inline
+
+    n, d, k = 300, 16, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    ps = PointSet.from_numpy(x)
+    g = _knn_graph(ps, 8)
+    inline = build_inline(ps.data, g.neighbors)
+    r1 = beam_search_batch(
+        jnp.asarray(q), ps.data, g.neighbors, g.degrees,
+        jnp.asarray([0], dtype=jnp.int32), None, inline,
+        metric=Metric.L2, n_valid=n, k=k, L=16, block_b=8,
+    )
+    r2 = beam_search_batch(
+        jnp.asarray(q), ps.data, g.neighbors, g.degrees,
+        jnp.asarray([0], dtype=jnp.int32),
+        metric=Metric.L2, n_valid=n, k=k, L=16, use_inline=False,
+    )
+    np.testing.assert_array_equal(np.asarray(r1.beam_ids), np.asarray(r2.beam_ids))
+    np.testing.assert_allclose(
+        np.asarray(r1.beam_dists), np.asarray(r2.beam_dists), rtol=1e-5, atol=1e-5
+    )
