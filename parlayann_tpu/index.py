@@ -105,8 +105,11 @@ class Index:
         return ids, dists, res
 
     def batch_search_timed(self, queries, warmup: bool = True, **kw):
-        """Timed steady-state search (compile excluded) -> (ids, dists, res,
-        seconds)."""
+        """Timed steady-state search (compile + host->device query upload
+        excluded, matching the reference's query-only timer,
+        check_nn_recall.h:41-50) -> (ids, dists, res, seconds)."""
+        queries = jnp.asarray(np.asarray(queries))
+        queries.block_until_ready()
         if warmup:
             out = self.batch_search(queries, **kw)
             jax.block_until_ready(out[0])

@@ -157,13 +157,19 @@ def beam_search_batch(
         beam_exp = beam_exp + newly.astype(jnp.int32)
         n_new = jnp.sum(newly, axis=1).astype(jnp.int32)
 
-        key = jnp.where(newly, brow_l, L)
-        skey, sids, sdists = jax.lax.sort(
-            (key, beam_ids, beam_dists), num_keys=1, is_stable=True
-        )
-        exp_ids = sids[:, :E]
-        exp_dists = sdists[:, :E]
-        valid_e = skey[:, :E] < L
+        if E == 1:
+            pos = jnp.argmax(newly, axis=1).astype(jnp.int32)[:, None]
+            exp_ids = jnp.take_along_axis(beam_ids, pos, axis=1)
+            exp_dists = jnp.take_along_axis(beam_dists, pos, axis=1)
+            valid_e = n_new[:, None] > 0
+        else:
+            key = jnp.where(newly, brow_l, L)
+            skey, sids, sdists = jax.lax.sort(
+                (key, beam_ids, beam_dists), num_keys=1, is_stable=True
+            )
+            exp_ids = sids[:, :E]
+            exp_dists = sdists[:, :E]
+            valid_e = skey[:, :E] < L
         exp_ids_c = jnp.where(valid_e, exp_ids, 0)
 
         # -- 2. candidate ids + distances --
@@ -204,23 +210,29 @@ def beam_search_batch(
             n_valid + jnp.arange(K, dtype=jnp.int32)[None, :],
         )
 
-        prev_count = jnp.sum(beam_dists < INF, axis=1)
         nb_ids, nb_dists, nb_exp = _merge(
             beam_ids, beam_dists, beam_exp, cand_ids, cand_dists, L
         )
 
-        # -- 4. cut pruning (beamSearch.h:185-195), metric + query-time only --
+        # -- 4. cut rule (beamSearch.h:185-195), metric + query-time only.
+        # The reference trims the frontier to entries within cut*d(k), which
+        # makes the loop stop once only beyond-cut entries remain. Removing
+        # entries would break the monotone beam-worst invariant that makes
+        # hashless dedup exact (removed nodes could re-enter as "fresh"
+        # candidates and churn), so the same semantics are realized as an
+        # early-stop: a query is done when no unexpanded entry is within
+        # cut*d(k). The expansion order (always the closest unexpanded) and
+        # the reported top-k are unchanged.
         if k > 0 and metric.is_metric and k < L:
             thr = cut * nb_dists[:, k]
-            keep = jnp.sum(nb_dists < thr[:, None], axis=1)
-            keep = jnp.maximum(keep, prev_count)
-            cut_mask = brow_l >= keep[:, None]
-            nb_dists = jnp.where(cut_mask, INF, nb_dists)
-            nb_exp = jnp.where(cut_mask, 1, nb_exp)
+            has_work = jnp.any(
+                (nb_exp == 0) & (nb_dists < jnp.minimum(thr[:, None], INF)), axis=1
+            )
+        else:
+            has_work = jnp.any((nb_exp == 0) & (nb_dists < INF), axis=1)
 
         num_visited_new = num_visited + n_new
-        new_done = done | ~jnp.any((nb_exp == 0) & (nb_dists < INF), axis=1)
-        new_done |= num_visited_new >= limit
+        new_done = done | ~has_work | (num_visited_new >= limit)
 
         sel = active[:, None]
         out = (
