@@ -65,7 +65,7 @@ def main():
     log(f"build: {build_time:.2f}s (kernel {stats.build_time:.2f}s), "
         f"deg {avg_deg:.2f}/{max_deg}, fallback {stats.n_fallback}")
 
-    idx = Index(points=ps, graph=graph)
+    idx = Index(points=ps, graph=graph).enable_quantized(bits=8)
     best_qps, best_rec, best_beam = 0.0, 0.0, 0
     results = []
     for beam in [10, 12, 15, 18, 22, 27, 33, 40, 50, 65, 85, 110, 150]:

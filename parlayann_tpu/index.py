@@ -3,6 +3,12 @@
 Parity target: ``GraphIndex`` in python/graph_index.cpp:82-305 (load points
 + graph, build quantized side-ranges, batch_search / single_search /
 check_recall) and the diskannpy-style wrappers in python/wrapper.py.
+
+Search tiers (graph_index.cpp:86-101 builds them at load): the full-
+precision PointSet plus an optional 1-byte scalar-quantized tier. When the
+quantized tier is active, beam search runs on quantized inline-neighbor
+vectors (4x less HBM traffic per hop) and the frontier is reranked at full
+precision (beamSearch.h:394-454).
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ from parlayann_tpu.data.pointset import PointSet
 from parlayann_tpu.data.graph import GraphIndexData
 from parlayann_tpu.ops import quantize
 from parlayann_tpu.search.beam import beam_search_batch, top_k_from_beam
+from parlayann_tpu.search.rerank import rerank_topk
 
 
 @dataclasses.dataclass
@@ -29,9 +36,34 @@ class Index:
     start_point: int = 0
     qpoints: Optional[PointSet] = None  # 1-byte tier (graph_index.cpp:86-101)
     # inline neighbor vectors (n, R, d) — HBM-bandwidth layout for the Pallas
-    # expansion kernel; built lazily, costs R x points memory
+    # expansion kernel; built lazily, costs R x points memory (in the tier's
+    # storage dtype: uint8/int8 when quantized)
     inline: Optional[object] = None
     use_inline: bool = True
+
+    @staticmethod
+    def load(
+        graph_path: str,
+        data_path: str,
+        metric: Metric = Metric.L2,
+        dtype=None,
+        quantize_bits: int = 8,
+    ) -> "Index":
+        ps = PointSet.from_file(data_path, dtype=dtype, metric=metric)
+        g = GraphIndexData.load(graph_path)
+        idx = Index(points=ps, graph=g)
+        if quantize_bits and ps.data.dtype == jnp.float32:
+            idx.qpoints = quantize.quantize_pointset(ps, bits=quantize_bits)
+        return idx
+
+    def save(self, graph_path: str) -> None:
+        self.graph.save(graph_path)
+
+    def enable_quantized(self, bits: int = 8, trim: float = 0.0) -> "Index":
+        """Build the scalar-quantized search tier (graph_index.cpp:86-101)."""
+        self.qpoints = quantize.quantize_pointset(self.points, bits=bits, trim=trim)
+        self.inline = None  # rebuild inline in the quantized dtype
+        return self
 
     def build_inline_cache(self):
         from parlayann_tpu.ops.pallas.expand import build_inline
@@ -40,24 +72,6 @@ class Index:
             src = self.qpoints if self.qpoints is not None else self.points
             self.inline = build_inline(src.data, self.graph.neighbors)
         return self.inline
-
-    @staticmethod
-    def load(
-        graph_path: str,
-        data_path: str,
-        metric: Metric = Metric.L2,
-        dtype=None,
-        quantize_bits: int = 0,
-    ) -> "Index":
-        ps = PointSet.from_file(data_path, dtype=dtype, metric=metric)
-        g = GraphIndexData.load(graph_path)
-        idx = Index(points=ps, graph=g)
-        if quantize_bits:
-            idx.qpoints = quantize.quantize_pointset(ps, bits=quantize_bits)
-        return idx
-
-    def save(self, graph_path: str) -> None:
-        self.graph.save(graph_path)
 
     # ------------------------------------------------------------------
     def batch_search(
@@ -69,20 +83,27 @@ class Index:
         limit: Optional[int] = None,
         degree_limit: Optional[int] = None,
         expand: int = 1,
-        quantized: bool = False,
+        rerank_factor: int = 10,
     ):
-        """Search all query rows -> (ids (B,k), dists (B,k)).
+        """Search all query rows -> (ids (B,k), dists (B,k), BeamResult).
 
         Mirrors GraphIndex::batch_search (graph_index.cpp:192-216):
-        QueryParams(k, Q, cut, visit_limit, degree_limit).
+        QueryParams(k, Q, cut, visit_limit, degree_limit); runs quantized +
+        rerank automatically when the quantized tier exists (the reference's
+        search_dispatch, graph_index.cpp:120-190). ``rerank_factor``: the
+        rerank pool is min(k*rerank_factor, beam).
         """
         qp = QueryParams(
             k=k, beamSize=beam_size, cut=cut, limit=limit, degree_limit=degree_limit
         ).resolved(self.graph.max_degree, self.points.n)
-        ps = self.qpoints if (quantized and self.qpoints is not None) else self.points
-        q = jnp.asarray(np.asarray(queries))
-        q = quantize.translate_query(q, ps)
+        ps = self.qpoints if self.qpoints is not None else self.points
+        q_full = jnp.asarray(np.asarray(queries))
+        # quantized query levels kept in f32: identical distance values, and
+        # the Pallas kernel needs a f32-loadable query block (Mosaic cannot
+        # dynamically row-load int8 VMEM)
+        q = quantize.translate_query(q_full, ps).astype(jnp.float32)
         inline = self.build_inline_cache() if self.use_inline else None
+        L = max(qp.beamSize, k)
         res = beam_search_batch(
             q,
             ps.data,
@@ -94,14 +115,21 @@ class Index:
             metric=ps.metric,
             n_valid=ps.n,
             k=k,
-            L=max(qp.beamSize, k),
+            L=L,
             cut=qp.cut,
             limit=qp.limit,
             degree_limit=qp.degree_limit,
             expand=expand,
             use_inline=self.use_inline,
         )
-        ids, dists = top_k_from_beam(res, k)
+        if ps is not self.points:
+            pool = min(max(k * rerank_factor, k), L)
+            ids, dists = rerank_topk(
+                q_full.astype(jnp.float32), self.points.data, res.beam_ids,
+                k=k, pool=pool, metric=self.points.metric,
+            )
+        else:
+            ids, dists = top_k_from_beam(res, k)
         return ids, dists, res
 
     def batch_search_timed(self, queries, warmup: bool = True, **kw):

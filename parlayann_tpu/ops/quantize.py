@@ -35,11 +35,19 @@ def euclidean_params(data: jax.Array, bits: int = 8):
 
 
 def euclidean_translate(x: jax.Array, slope, offset, bits: int = 8) -> jax.Array:
-    """Scalar-quantize with clamping (euclidian_point.h:183-209)."""
+    """Scalar-quantize with clamping (euclidian_point.h:183-209).
+
+    Storage deviation: the reference stores levels 0..255 as uint8; here the
+    8-bit tier stores ``level - 128`` as int8 — L2 distances are differences
+    so the constant shift cancels exactly, and int8 is the dtype the Pallas
+    TPU expansion kernel can cast to f32 (Mosaic has no uint8->f32 cast).
+    """
     maxval = 2.0**bits - 1.0
     q = jnp.round((x.astype(jnp.float32) - offset) * slope)
     q = jnp.clip(q, 0.0, maxval)
-    return q.astype(jnp.uint8 if bits <= 8 else jnp.uint16)
+    if bits <= 8:
+        return (q - 128.0).astype(jnp.int8)
+    return q.astype(jnp.uint16)
 
 
 def mips_params(data: jax.Array, bits: int = 8, trim: float = 0.0):

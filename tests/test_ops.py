@@ -73,7 +73,7 @@ def test_euclidean_quantization_monotone(rng):
     x = rng.standard_normal((100, 8)).astype(np.float32)
     ps = PointSet.from_numpy(x)
     qps = quantize.quantize_pointset(ps, bits=8)
-    assert qps.data.dtype == jnp.uint8
+    assert qps.data.dtype == jnp.int8
     # quantized distances approximately preserve ranking
     q = x[:3]
     qq = quantize.translate_query(jnp.asarray(q), qps)
