@@ -84,6 +84,11 @@ def exchange_reverse_edges(
     M = B * R
     n_pad = nbrs.shape[0]
     cap = cap if cap > 0 else R
+    # prune_budget < 0 => no alpha-prune pass at all: every overflow target
+    # takes the sort-truncate path (HNSW's overflow rule, HNSW.hpp:940-988)
+    truncate_all = prune_budget < 0
+    if truncate_all:
+        prune_budget = 1
     prune_budget = prune_budget if prune_budget > 0 else max(2 * B, 1024)
     prune_budget = min(prune_budget, M)
 
@@ -111,7 +116,10 @@ def exchange_reverse_edges(
     prio = jnp.where(fo & overflow, 0, jnp.where(fo, 1, 2)).astype(jnp.int32)
     _, perm = jax.lax.sort((prio, pos), num_keys=1, is_stable=True)
     inv = jnp.zeros(M, jnp.int32).at[perm].set(pos)
-    fallback = (prio == 0) & (inv >= prune_budget)
+    if truncate_all:
+        fallback = prio == 0
+    else:
+        fallback = (prio == 0) & (inv >= prune_budget)
 
     stats = ReverseStats(
         n_groups=jnp.sum(fo),
@@ -176,6 +184,8 @@ def exchange_reverse_edges(
     )
 
     # ---------- prune pass over the budgeted overflow rows ----------
+    if truncate_all:
+        return nbrs, degs, stats
     prows = perm[:prune_budget]
     pmask = prio[prows] == 0
     t = s_tgt[prows]

@@ -74,3 +74,25 @@ def compute_recall(
     match &= res[:, :, None] >= 0
     correct = int(match.any(axis=2).sum())
     return correct / (B * k)
+
+
+def range_recall(reported: list, gt: list):
+    """Pointwise + cumulative range recall (check_range_recall.h:37-53)."""
+    import numpy as _np
+
+    pointwise = 0.0
+    nonzero = 0
+    rep_total = 0
+    gt_total = 0
+    for r, g in zip(reported, gt):
+        nr, ng = len(r), len(g)
+        rep_total += nr
+        gt_total += ng
+        if ng:
+            inter = len(set(_np.asarray(r).tolist()) & set(_np.asarray(g).tolist()))
+            pointwise += inter / ng
+            nonzero += 1
+    return (
+        pointwise / max(nonzero, 1),
+        (rep_total / gt_total) if gt_total else 0.0,
+    )

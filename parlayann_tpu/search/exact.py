@@ -79,3 +79,21 @@ def compute_groundtruth(
         out_i.append(np.asarray(ids))
         out_d.append(np.asarray(dists))
     return np.concatenate(out_i), np.concatenate(out_d)
+
+
+def compute_range_groundtruth(
+    base: PointSet, queries: np.ndarray, radius: float, query_batch: int = 2048
+):
+    """Exact range ground truth: all base ids within ``radius`` of each
+    query (data_tools/compute_range_groundtruth.cpp). Returns a list of id
+    arrays."""
+    out = []
+    qn = len(queries)
+    for lo in range(0, qn, query_batch):
+        q = jnp.asarray(queries[lo : lo + query_batch])
+        d = distance.all_pairs(q, base.data, base.metric)
+        d = np.asarray(d)[:, : base.n_pad]
+        valid = np.arange(base.n_pad) < base.n
+        for row in d:
+            out.append(np.flatnonzero((row <= radius) & valid).astype(np.int32))
+    return out
