@@ -44,7 +44,12 @@ def check_recall(
         queries, k=k, beam_size=beam_size, cut=cut, limit=limit,
         degree_limit=degree_limit, expand=expand,
     )
-    rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, k)
+    # no ground truth -> recall stays 0 (check_nn_recall.h: GT.size()==0)
+    rec = (
+        compute_recall(np.asarray(ids), gt_ids, gt_dists, k)
+        if gt_ids is not None
+        else 0.0
+    )
     qps = len(queries) / dt
     cmps = np.asarray(res.dist_cmps)
     vis = np.asarray(res.num_visited)
