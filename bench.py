@@ -57,6 +57,8 @@ def main():
     gt_ids, gt_dists = exact.compute_groundtruth(ps, Q, 2 * k)
     log(f"ground truth: {time.perf_counter()-t0:.2f}s")
 
+    # quickstart-parity config: full-precision build (docs/quickstart.md),
+    # quantized+rerank search tier
     bp = BuildParams(R=32, L=64, alpha=1.2, num_passes=2)
     t0 = time.perf_counter()
     graph, stats = build_vamana_graph(ps, bp, verbose=False)

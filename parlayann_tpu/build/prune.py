@@ -58,6 +58,8 @@ def _pairwise(cand_vecs: jax.Array, metric: Metric) -> jax.Array:
     batched matmul. Precomputing moves the occlusion loop's per-round
     distance work (R re-reads of the candidate vectors from HBM) into a
     single compute-bound einsum — ~10x faster on TPU."""
+    if cand_vecs.dtype != jnp.float32:
+        cand_vecs = cand_vecs.astype(jnp.float32)
     dot = jnp.einsum(
         "bcd,bed->bce", cand_vecs, cand_vecs,
         preferred_element_type=jnp.float32,

@@ -75,7 +75,7 @@ def build_sharded_vamana(
     n, dim = data.shape
     points, nl = shard_dataset(data, mesh)
     R, L = bp.R, bp.L
-    vmax = max(2 * L, R + 16)
+    vmax = max((3 * L) // 2, R + 16)
 
     nbrs = jax.device_put(
         jnp.zeros((D, nl, R), jnp.int32), NamedSharding(mesh, P("d", None, None))

@@ -44,3 +44,26 @@ def test_quantized_search_with_rerank(rng):
     row = np.asarray(ids_q)[0]
     want = ((X[row] - Q[0]) ** 2).sum(1)
     np.testing.assert_allclose(dd[0], want, rtol=1e-4, atol=1e-3)
+
+
+def test_build_on_quantized_points(rng):
+    """The reference builds the graph on the 1-byte tier (builder.cpp:60-87);
+    int8 storage must flow through every build kernel."""
+    from parlayann_tpu.ops import quantize
+    from parlayann_tpu.build.vamana import build_vamana_graph
+
+    n, d, k = 800, 16, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((30, d)).astype(np.float32)
+    ps = PointSet.from_numpy(X)
+    qps = quantize.quantize_pointset(ps, bits=8)
+    bp = BuildParams(R=16, L=32, alpha=1.2, num_passes=2, batch_cap_frac=0.25)
+    g, _ = build_vamana_graph(qps, bp)
+    avg, mx = g.stats()
+    assert avg > 6, f"degree collapsed: {avg}"
+
+    gt, _ = exact.exact_knn(Q, ps, k, chunk=128)
+    idx = Index(points=ps, graph=g, qpoints=qps)
+    ids, _, _ = idx.batch_search(Q, k=k, beam_size=40)
+    rec = _recall(np.asarray(ids), np.asarray(gt))
+    assert rec >= 0.85, rec
