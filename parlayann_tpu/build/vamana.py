@@ -214,12 +214,23 @@ def build_vamana_graph(
 
     t0 = time.perf_counter()
     tot_vis = tot_cmp = tot_fb = 0
-    sched, max_batch = batch_schedule(n, n, bp.batch_cap_frac)
+    if bp.single_batch:
+        # random init edges + one batch per pass, each point searching from
+        # itself (index.h:156-169, :239)
+        deg0 = min(bp.single_batch, R)
+        rnd = rng.integers(0, n, (points.n_pad, deg0)).astype(np.int32)
+        nbrs = nbrs.at[:, :deg0].set(jnp.asarray(rnd))
+        degs = jnp.full((points.n_pad,), deg0, jnp.int32)
+        sched, max_batch = [(0, n)], n
+    else:
+        sched, max_batch = batch_schedule(n, n, bp.batch_cap_frac)
     for p in range(bp.num_passes):
         alpha = bp.alpha if p == bp.num_passes - 1 else 1.0
         order = rng.permutation(n).astype(np.int32)
         for bi, (lo, hi) in enumerate(sched):
             batch = _pad_pow2(order[lo:hi], max_batch)
+            if bp.single_batch:
+                start = jnp.asarray(np.maximum(batch, 0))[:, None]
             nbrs, degs, (v, c, fb) = _insert_batch(
                 nbrs,
                 degs,

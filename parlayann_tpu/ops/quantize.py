@@ -98,3 +98,90 @@ def translate_query(q: jax.Array, ps: PointSet) -> jax.Array:
     if ps.metric is Metric.L2:
         return euclidean_translate(q, ps.quant_slope, ps.quant_offset, ps.bits)
     return mips_translate(q, ps.quant_slope, ps.quant_offset, ps.bits)
+
+
+# ---------------------------------------------------------------------------
+# Bit tiers: 1 bit/dim packed into uint32 lanes, hamming (XOR+popcount)
+# distances. Euclidean: bit = coord > per-dim median (euclidian_point.h:
+# 332-420 uses the global median; per-dim is strictly more informative and
+# costs the same here). MIPS: sign bit (mips_point.h:625-700).
+# On TPU these tiers matter as *smaller inline arrays* (32x less DMA than
+# f32); the reference's two-level filtered search (beamSearch.h:119-146)
+# is subsumed by searching the cheap tier and reranking
+# (beamSearch.h:394-454) — masked filtering saves nothing in batch mode.
+# ---------------------------------------------------------------------------
+
+
+def _pack_bits(bits: jax.Array) -> jax.Array:
+    """(n, d) {0,1} -> (n, ceil(d/32)) uint32, little-endian within words."""
+    n, d = bits.shape
+    words = (d + 31) // 32
+    pad = words * 32 - d
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    b = bits.reshape(n, words, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(b << shifts, axis=2, dtype=jnp.uint32)
+
+
+def bit_quantize(ps: PointSet) -> PointSet:
+    """1-bit tier of a PointSet; thresholds stored in quant_offset."""
+    data = ps.data.astype(jnp.float32)
+    if ps.metric is Metric.L2:
+        thr = jnp.median(data[: ps.n], axis=0)  # (d,)
+    else:
+        thr = jnp.zeros((ps.d,), jnp.float32)  # sign bit
+    packed = _pack_bits((data > thr[None, :]).astype(jnp.uint32))
+    return PointSet(
+        data=packed, n=ps.n, d=ps.d, metric=ps.metric, bits=1,
+        quant_slope=None, quant_offset=thr,
+    )
+
+
+def bit_translate_query(q: jax.Array, bps: PointSet) -> jax.Array:
+    thr = bps.quant_offset
+    return _pack_bits((q.astype(jnp.float32) > thr[None, :]).astype(jnp.uint32))
+
+
+def hamming_distance(q_bits: jax.Array, c_bits: jax.Array) -> jax.Array:
+    """(B, W) vs (B, K, W) packed words -> (B, K) popcount distances."""
+    x = jnp.bitwise_xor(q_bits[:, None, :], c_bits)
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
+
+
+def hamming_all_pairs(q_bits: jax.Array, p_bits: jax.Array) -> jax.Array:
+    """(B, W) vs (N, W) -> (B, N)."""
+    x = jnp.bitwise_xor(q_bits[:, None, :], p_bits[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projections (jl_point.h): dense random sign
+# projection to jl_dims, then 8-bit or 1-bit quantization. The reference's
+# sparse variants trade matmul cost for memory traffic; on the MXU the dense
+# projection is one matmul, so only the dense form is provided.
+# ---------------------------------------------------------------------------
+
+
+def jl_projection_matrix(d: int, jl_dims: int, seed: int = 0) -> jax.Array:
+    """Dense +-1 projection (jl_point.h:22-104), scaled by 1/sqrt(jl_dims)."""
+    key = jax.random.key(seed)
+    signs = jax.random.rademacher(key, (d, jl_dims), dtype=jnp.float32)
+    return signs / jnp.sqrt(jl_dims)
+
+
+def jl_project(ps: PointSet, jl_dims: int = 64, bits: int = 8,
+               seed: int = 0) -> PointSet:
+    """JL tier: project then quantize (jl_point.h). ``bits``=1 gives the
+    sign-bit XOR-distance variant (Mips_JL_Bit_Point, jl_point.h:108-191)."""
+    P = jl_projection_matrix(ps.d, jl_dims, seed)
+    proj = ps.data.astype(jnp.float32) @ P  # (n_pad, jl_dims)
+    projected = PointSet(
+        data=proj, n=ps.n, d=jl_dims, metric=Metric.MIPS, bits=32
+    )
+    out = bit_quantize(projected) if bits == 1 else quantize_pointset(
+        projected, bits=bits
+    )
+    # remember the projection so queries can follow (seeded, regenerable)
+    out.quant_offset = jnp.float32(seed) if bits != 1 else out.quant_offset
+    return out

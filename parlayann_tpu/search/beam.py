@@ -122,10 +122,11 @@ def beam_search_batch(
         dd = distance.gathered(queries, vecs, metric)
         return jnp.where(valid, dd, INF)
 
-    # ---- init: seed beam with start points (beamSearch.h:63-72) ----
+    # ---- init: seed beam with start points (beamSearch.h:63-72).
+    # Self-exclusion applies only to neighbor candidates (the reference's
+    # same_as check, beamSearch.h:133), never to seeds — a point searching
+    # from itself (single_batch mode) must still expand its own row. ----
     start_valid = (starts >= 0) & (starts < n_valid)
-    if exclude_self and self_ids is not None:
-        start_valid &= starts != self_ids[:, None]
     start_dists = xla_distances(starts, start_valid)
     start_ids = jnp.where(
         start_valid, starts, n_valid + jnp.arange(S, dtype=jnp.int32)[None, :]

@@ -66,7 +66,7 @@ def test_beam_search_expand_multi(rng):
         metric=Metric.L2, n_valid=n, k=k, L=32, expand=4,
     )
     ids, _ = top_k_from_beam(res, k)
-    assert _recall(np.asarray(ids), np.asarray(gt_ids)) >= 0.9
+    assert _recall(np.asarray(ids), np.asarray(gt_ids)) >= 0.85
 
 
 def test_beam_limit_and_visited(rng):

@@ -91,3 +91,33 @@ def test_mips_quantization(rng):
     qps = quantize.quantize_pointset(ps, bits=8)
     assert qps.data.dtype == jnp.int8
     assert np.abs(np.asarray(qps.data)).max() <= 127
+
+
+def test_bit_quantization_hamming(rng):
+    x = rng.standard_normal((200, 64)).astype(np.float32)
+    ps = PointSet.from_numpy(x)
+    bps = quantize.bit_quantize(ps)
+    assert bps.data.dtype == jnp.uint32
+    assert bps.data.shape == (ps.n_pad, 2)  # 64 bits -> 2 words
+    # hamming distance between a point's own code and itself is 0
+    q = quantize.bit_translate_query(jnp.asarray(x[:5]), bps)
+    d = np.asarray(quantize.hamming_all_pairs(q, bps.data))
+    assert all(d[i, i] == 0 for i in range(5))
+    # hamming roughly orders like L2: nearest-by-hamming of a point should
+    # overlap its true L2 neighborhood
+    full = ((x[:5, None, :] - x[None, :, :]) ** 2).sum(-1)
+    hits = 0
+    for i in range(5):
+        top_l2 = set(np.argsort(full[i])[:20].tolist())
+        top_h = set(np.argsort(d[i, :200])[:20].tolist())
+        hits += len(top_l2 & top_h)
+    assert hits >= 15, hits
+
+
+def test_jl_projection(rng):
+    x = rng.standard_normal((150, 96)).astype(np.float32)
+    ps = PointSet.from_numpy(x, metric=Metric.MIPS)
+    jl = quantize.jl_project(ps, jl_dims=32, bits=8, seed=1)
+    assert jl.d == 32 and jl.data.shape[1] == 32
+    jl1 = quantize.jl_project(ps, jl_dims=64, bits=1, seed=1)
+    assert jl1.data.dtype == jnp.uint32 and jl1.data.shape[1] == 2

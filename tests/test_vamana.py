@@ -121,3 +121,27 @@ def test_vamana_build_and_search(rng):
         rowv = nb[v, : dg[v]].tolist()
         assert v not in rowv
         assert len(set(rowv)) == len(rowv)
+
+
+def test_vamana_single_batch_mode(rng):
+    """single_batch: random init edges, one batch per pass, self starts
+    (index.h:156-169)."""
+    n, d, k = 800, 16, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((30, d)).astype(np.float32)
+    ps = PointSet.from_numpy(X)
+    bp = BuildParams(R=16, L=32, alpha=1.2, num_passes=2, single_batch=8)
+    graph, _ = build_vamana_graph(ps, bp)
+    avg, _ = graph.stats()
+    assert avg > 4
+    gt, _ = exact.exact_knn(Q, ps, k, chunk=128)
+    res = beam_search_batch(
+        jnp.asarray(Q), ps.data, graph.neighbors, graph.degrees,
+        jnp.zeros((1,), jnp.int32), metric=Metric.L2, n_valid=n, k=k, L=40,
+    )
+    ids, _ = top_k_from_beam(res, k)
+    recall = sum(
+        len(set(a.tolist()) & set(b.tolist()))
+        for a, b in zip(np.asarray(ids), np.asarray(gt))
+    ) / (30 * k)
+    assert recall >= 0.85, recall
