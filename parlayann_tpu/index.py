@@ -152,3 +152,13 @@ class Index:
             np.asarray(query)[None, :], k=k, beam_size=beam_size, **kw
         )
         return np.asarray(ids[0]), np.asarray(dists[0])
+
+    def check_recall(self, queries, gt_ids, gt_dists=None, k: int = 10,
+                     beam_size: int = 64, **kw):
+        """Search + tie-aware recall (GraphIndex::check_recall,
+        graph_index.cpp:259-305)."""
+        from parlayann_tpu.harness.recall import compute_recall
+
+        ids, _, _ = self.batch_search(queries, k=k, beam_size=beam_size, **kw)
+        return compute_recall(np.asarray(ids), np.asarray(gt_ids),
+                              None if gt_dists is None else np.asarray(gt_dists), k)
