@@ -65,11 +65,20 @@ class Index:
         self.inline = None  # rebuild inline in the quantized dtype
         return self
 
-    def build_inline_cache(self):
+    def build_inline_cache(self, hbm_budget_bytes: int = 6 << 30):
+        """Inline neighbor vectors cost n*R*d*itemsize HBM; skip the layout
+        (fall back to XLA gathers) when it would not fit the budget."""
         from parlayann_tpu.ops.pallas.expand import build_inline
 
-        if self.inline is None:
+        if self.inline is None and self.use_inline:
             src = self.qpoints if self.qpoints is not None else self.points
+            est = (
+                src.data.shape[0] * self.graph.max_degree * src.d
+                * src.data.dtype.itemsize
+            )
+            if est > hbm_budget_bytes:
+                self.use_inline = False
+                return None
             self.inline = build_inline(src.data, self.graph.neighbors)
         return self.inline
 

@@ -21,37 +21,16 @@ from parlayann_tpu.ops.distance import INF
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "n_valid", "chunk"))
-def _exact_knn_device(
-    queries: jax.Array,
-    points: jax.Array,
-    k: int,
-    metric: Metric,
-    n_valid: int,
-    chunk: int,
+def _exact_chunk_step(
+    run_d, run_i, queries, points, chunk_idx, *, k, metric, n_valid, chunk
 ):
-    n_pad = points.shape[0]
-    n_chunks = n_pad // chunk
-    chunks = points.reshape(n_chunks, chunk, points.shape[1])
-    b = queries.shape[0]
-
-    def step(carry, xs):
-        run_d, run_i = carry
-        chunk_pts, chunk_idx = xs
-        d = distance.all_pairs(queries, chunk_pts, metric)
-        ids = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-        ids = jnp.broadcast_to(ids, d.shape)
-        d = jnp.where(ids < n_valid, d, INF)
-        run_d, run_i = topk.merge_topk(run_d, run_i, d, ids, k)
-        return (run_d, run_i), None
-
-    init = (
-        jnp.full((b, k), INF, dtype=jnp.float32),
-        jnp.zeros((b, k), dtype=jnp.int32),
-    )
-    (dists, ids), _ = jax.lax.scan(
-        step, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32))
-    )
-    return ids, dists
+    """One dataset chunk: (B, chunk) distance matmul + running top-k merge."""
+    chunk_pts = jax.lax.dynamic_slice_in_dim(points, chunk_idx * chunk, chunk)
+    d = distance.all_pairs(queries, chunk_pts, metric)
+    ids = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    ids = jnp.broadcast_to(ids, d.shape)
+    d = jnp.where(ids < n_valid, d, INF)
+    return topk.merge_topk(run_d, run_i, d, ids, k)
 
 
 def exact_knn(
@@ -60,13 +39,26 @@ def exact_knn(
     k: int,
     chunk: int = 16384,
 ):
-    """Exact top-k for each query row -> (ids (B,k) int32, dists (B,k) f32)."""
+    """Exact top-k for each query row -> (ids (B,k) int32, dists (B,k) f32).
+
+    Host loop over dataset chunks with one jitted step (matmul + merge):
+    compiles once per shape and lets chunks pipeline, unlike a lax.scan
+    (measured 10x slower end-to-end through the remote TPU relay).
+    """
     q = jnp.asarray(queries)
     n_pad = points.n_pad
     chunk = min(chunk, n_pad)
     while n_pad % chunk != 0:
         chunk //= 2
-    return _exact_knn_device(q, points.data, k, points.metric, points.n, chunk)
+    b = q.shape[0]
+    run_d = jnp.full((b, k), INF, dtype=jnp.float32)
+    run_i = jnp.zeros((b, k), dtype=jnp.int32)
+    for ci in range(n_pad // chunk):
+        run_d, run_i = _exact_chunk_step(
+            run_d, run_i, q, points.data, ci,
+            k=k, metric=points.metric, n_valid=points.n, chunk=chunk,
+        )
+    return run_i, run_d
 
 
 def compute_groundtruth(
