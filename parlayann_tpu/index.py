@@ -27,6 +27,7 @@ from parlayann_tpu.data.graph import GraphIndexData
 from parlayann_tpu.ops import quantize
 from parlayann_tpu.search.beam import beam_search_batch, top_k_from_beam
 from parlayann_tpu.search.rerank import rerank_topk
+from parlayann_tpu.ops.distance import INF
 
 
 @dataclasses.dataclass
@@ -93,6 +94,7 @@ class Index:
         degree_limit: Optional[int] = None,
         expand: int = 1,
         rerank_factor: int = 10,
+        two_phase: bool = False,
     ):
         """Search all query rows -> (ids (B,k), dists (B,k), BeamResult).
 
@@ -101,6 +103,10 @@ class Index:
         rerank automatically when the quantized tier exists (the reference's
         search_dispatch, graph_index.cpp:120-190). ``rerank_factor``: the
         rerank pool is min(k*rerank_factor, beam).
+
+        ``two_phase``: straggler compaction — the lock-step batch pays for
+        its slowest query, so phase 1 caps expansions at 2.5*L, then only
+        the unconverged tail (typically <25%) resumes in a compacted batch.
         """
         qp = QueryParams(
             k=k, beamSize=beam_size, cut=cut, limit=limit, degree_limit=degree_limit
@@ -113,24 +119,52 @@ class Index:
         q = quantize.translate_query(q_full, ps).astype(jnp.float32)
         inline = self.build_inline_cache() if self.use_inline else None
         L = max(qp.beamSize, k)
-        res = beam_search_batch(
-            q,
-            ps.data,
-            self.graph.neighbors,
-            self.graph.degrees,
-            jnp.asarray([self.start_point], dtype=jnp.int32),
-            None,
-            inline,
-            metric=ps.metric,
-            n_valid=ps.n,
-            k=k,
-            L=L,
-            cut=qp.cut,
-            limit=qp.limit,
-            degree_limit=qp.degree_limit,
-            expand=expand,
+        B = q.shape[0]
+        common = dict(
+            metric=ps.metric, n_valid=ps.n, k=k, L=L, cut=qp.cut,
+            degree_limit=qp.degree_limit, expand=expand,
             use_inline=self.use_inline,
         )
+        start = jnp.asarray([self.start_point], dtype=jnp.int32)
+        t1 = (5 * L) // 2
+        if two_phase and B >= 2048 and qp.limit > 2 * t1:
+            res = beam_search_batch(
+                q, ps.data, self.graph.neighbors, self.graph.degrees,
+                start, None, inline, limit=t1, **common,
+            )
+            undone = np.flatnonzero(~np.asarray(res.done))
+            if len(undone):
+                bucket = 256
+                while bucket < len(undone):
+                    bucket *= 2
+                bucket = min(bucket, B)
+                idx_u = np.full(bucket, undone[0], dtype=np.int32)
+                idx_u[: len(undone)] = undone[:bucket]
+                iu = jnp.asarray(idx_u)
+                state = tuple(
+                    jnp.take(a, iu, axis=0)
+                    for a in (res.beam_ids, res.beam_dists, res.beam_exp,
+                              res.num_visited, res.dist_cmps)
+                )
+                # restore sentinel ids for empty slots (-1 was applied)
+                state = (
+                    jnp.where(state[1] < INF, state[0],
+                              ps.n + jnp.arange(L, dtype=jnp.int32)[None, :]),
+                ) + state[1:]
+                res2 = beam_search_batch(
+                    jnp.take(q, iu, axis=0), ps.data, self.graph.neighbors,
+                    self.graph.degrees, start, None, inline,
+                    limit=qp.limit, init_state=state, **common,
+                )
+                merged = []
+                for a, b in zip(res, res2):
+                    merged.append(a.at[iu].set(b))
+                res = type(res)(*merged)
+        else:
+            res = beam_search_batch(
+                q, ps.data, self.graph.neighbors, self.graph.degrees,
+                start, None, inline, limit=qp.limit, **common,
+            )
         if ps is not self.points:
             pool = min(max(k * rerank_factor, k), L)
             ids, dists = rerank_topk(

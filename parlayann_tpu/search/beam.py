@@ -52,6 +52,17 @@ class BeamResult(NamedTuple):
     visited_dists: jax.Array  # (B, vmax) f32
     num_visited: jax.Array  # (B,) int32
     dist_cmps: jax.Array  # (B,) int32
+    beam_exp: jax.Array  # (B, L) int32 expanded flags (resume state)
+    done: jax.Array  # (B,) bool — converged (vs stopped by ``limit``)
+
+
+def _has_work(beam_dists, beam_exp, k: int, L: int, cut: float, metric: Metric):
+    """Any unexpanded beam entry worth expanding (cut rule included)?"""
+    unexp = (beam_exp == 0) & (beam_dists < INF)
+    if k > 0 and metric.is_metric and k < L:
+        thr = cut * beam_dists[:, k]
+        return jnp.any(unexp & (beam_dists < jnp.minimum(thr[:, None], INF)), axis=1)
+    return jnp.any(unexp, axis=1)
 
 
 def _merge(beam_ids, beam_dists, beam_exp, cand_ids, cand_dists, L: int):
@@ -103,6 +114,7 @@ def beam_search_batch(
     exclude_self: bool = False,
     use_inline: bool = True,
     block_b: int = 256,
+    init_state: Optional[tuple] = None,
 ) -> BeamResult:
     B, d = queries.shape
     R = int(nbrs.shape[1])
@@ -122,28 +134,36 @@ def beam_search_batch(
         dd = distance.gathered(queries, vecs, metric)
         return jnp.where(valid, dd, INF)
 
-    # ---- init: seed beam with start points (beamSearch.h:63-72).
-    # Self-exclusion applies only to neighbor candidates (the reference's
-    # same_as check, beamSearch.h:133), never to seeds — a point searching
-    # from itself (single_batch mode) must still expand its own row. ----
-    start_valid = (starts >= 0) & (starts < n_valid)
-    start_dists = xla_distances(starts, start_valid)
-    start_ids = jnp.where(
-        start_valid, starts, n_valid + jnp.arange(S, dtype=jnp.int32)[None, :]
-    )
+    if init_state is not None:
+        # resume a previous (possibly compacted) search: beam + counters
+        # carry over, "done" is re-derived so limit can be raised
+        beam_ids, beam_dists, beam_exp, num_visited, dist_cmps = init_state
+        done = ~_has_work(beam_dists, beam_exp, k, L, cut, metric)
+        done |= num_visited >= limit
+    else:
+        # ---- init: seed beam with start points (beamSearch.h:63-72).
+        # Self-exclusion applies only to neighbor candidates (the
+        # reference's same_as check, beamSearch.h:133), never to seeds — a
+        # point searching from itself (single_batch mode) must still expand
+        # its own row. ----
+        start_valid = (starts >= 0) & (starts < n_valid)
+        start_dists = xla_distances(starts, start_valid)
+        start_ids = jnp.where(
+            start_valid, starts, n_valid + jnp.arange(S, dtype=jnp.int32)[None, :]
+        )
 
-    beam_ids = jnp.broadcast_to(
-        (n_valid + S + jnp.arange(L, dtype=jnp.int32))[None, :], (B, L)
-    )
-    beam_dists = jnp.full((B, L), INF, dtype=jnp.float32)
-    beam_exp = jnp.zeros((B, L), dtype=jnp.int32)
-    beam_ids, beam_dists, beam_exp = _merge(
-        beam_ids, beam_dists, beam_exp, start_ids, start_dists, L
-    )
+        beam_ids = jnp.broadcast_to(
+            (n_valid + S + jnp.arange(L, dtype=jnp.int32))[None, :], (B, L)
+        )
+        beam_dists = jnp.full((B, L), INF, dtype=jnp.float32)
+        beam_exp = jnp.zeros((B, L), dtype=jnp.int32)
+        beam_ids, beam_dists, beam_exp = _merge(
+            beam_ids, beam_dists, beam_exp, start_ids, start_dists, L
+        )
 
-    num_visited = jnp.zeros((B,), dtype=jnp.int32)
-    dist_cmps = jnp.sum(start_valid, axis=1).astype(jnp.int32)
-    done = ~jnp.any(beam_dists < INF, axis=1)
+        num_visited = jnp.zeros((B,), dtype=jnp.int32)
+        dist_cmps = jnp.sum(start_valid, axis=1).astype(jnp.int32)
+        done = ~jnp.any(beam_dists < INF, axis=1)
 
     def body(state):
         beam_ids, beam_dists, beam_exp, num_visited, dist_cmps, done = state
@@ -224,16 +244,9 @@ def beam_search_batch(
         # early-stop: a query is done when no unexpanded entry is within
         # cut*d(k). The expansion order (always the closest unexpanded) and
         # the reported top-k are unchanged.
-        if k > 0 and metric.is_metric and k < L:
-            thr = cut * nb_dists[:, k]
-            has_work = jnp.any(
-                (nb_exp == 0) & (nb_dists < jnp.minimum(thr[:, None], INF)), axis=1
-            )
-        else:
-            has_work = jnp.any((nb_exp == 0) & (nb_dists < INF), axis=1)
-
         num_visited_new = num_visited + n_new
-        new_done = done | ~has_work | (num_visited_new >= limit)
+        new_done = done | ~_has_work(nb_dists, nb_exp, k, L, cut, metric)
+        new_done |= num_visited_new >= limit
 
         sel = active[:, None]
         out = (
@@ -276,8 +289,10 @@ def beam_search_batch(
         vis_dists = jnp.full((B, 1), INF, dtype=jnp.float32)
 
     beam_ids, beam_dists, beam_exp, num_visited, dist_cmps, done = state
-    beam_ids = jnp.where(beam_dists < INF, beam_ids, -1)
-    return BeamResult(beam_ids, beam_dists, vis_ids, vis_dists, num_visited, dist_cmps)
+    converged = ~_has_work(beam_dists, beam_exp, k, L, cut, metric)
+    out_ids = jnp.where(beam_dists < INF, beam_ids, -1)
+    return BeamResult(out_ids, beam_dists, vis_ids, vis_dists, num_visited,
+                      dist_cmps, beam_exp, converged)
 
 
 def top_k_from_beam(res: BeamResult, k: int):
