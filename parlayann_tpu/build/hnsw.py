@@ -304,7 +304,7 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
 
     idx = HNSWIndex(points=points, levels=levels, entrance=entrance,
                     m=m, efc=efc, alpha=alpha, m_l=m_l)
-    jax.block_until_ready(levels[0].nbrs)
+    _ = int(jnp.sum(levels[0].degs))  # readback fence
     return idx, time.perf_counter() - t0
 
 

@@ -81,14 +81,20 @@ def _occlusion_loop(cand_ids, cand_dists, cand_vecs, alpha, R: int, metric: Metr
         alive = ~elim
         any_alive = jnp.any(alive, axis=1)
         star = jnp.argmax(alive, axis=1).astype(jnp.int32)  # first surviving
-        star_id = cand_ids[brow, star]
-        star_dist = cand_dists[brow, star]
+        onehot = (pos_c == star[:, None])
+        # row-select via masked reduce / one-hot matmul: TPU executes these
+        # on VPU/MXU ~5x faster than a dynamic row gather from (B, C, C)
+        star_id = jnp.sum(jnp.where(onehot, cand_ids, 0), axis=1)
+        star_dist = jnp.sum(jnp.where(onehot, cand_dists, 0.0), axis=1)
         sel_ids = sel_ids.at[:, r].set(jnp.where(any_alive, star_id, -1))
         sel_dists = sel_dists.at[:, r].set(jnp.where(any_alive, star_dist, INF))
-        d_sp = jnp.take_along_axis(pair_d, star[:, None, None], axis=1)[:, 0, :]
+        d_sp = jnp.einsum(
+            "bi,bij->bj", onehot.astype(jnp.float32), pair_d,
+            preferred_element_type=jnp.float32,
+        )
         occl = alpha * d_sp <= cand_dists  # index.h:111-113
         # mark star + occluded; pure masks (scatters are slow on TPU)
-        elim = elim | ((occl | (pos_c == star[:, None])) & any_alive[:, None])
+        elim = elim | ((occl | onehot) & any_alive[:, None])
         return elim, sel_ids, sel_dists
 
     elim0 = cand_dists >= INF

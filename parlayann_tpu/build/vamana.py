@@ -254,7 +254,7 @@ def build_vamana_graph(
     nbrs = _sort_rows_by_distance(
         nbrs, degs, points.data, R=R, metric=points.metric
     )
-    jax.block_until_ready(nbrs)
+    _ = int(jnp.sum(degs))  # readback fence (relay block_until_ready is unreliable)
     dt = time.perf_counter() - t0
     graph = GraphIndexData(neighbors=nbrs, degrees=degs, n=n, max_degree=R)
     stats = BuildStats(dt, 0.0, 0.0, tot_vis, tot_cmp, tot_fb)

@@ -183,10 +183,12 @@ class Index:
         queries.block_until_ready()
         if warmup:
             out = self.batch_search(queries, **kw)
-            jax.block_until_ready(out[0])
+            _ = np.asarray(out[0][:1])  # readback fence
         t0 = time.perf_counter()
         out = self.batch_search(queries, **kw)
-        jax.block_until_ready(out[0])
+        # fence with a tiny host readback: block_until_ready has been
+        # observed to return early through the remote TPU relay
+        _ = np.asarray(out[0][:1])
         dt = time.perf_counter() - t0
         return (*out, dt)
 
