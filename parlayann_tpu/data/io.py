@@ -167,3 +167,12 @@ def read_range_ibin(path: str) -> list[np.ndarray]:
         flat = np.fromfile(f, dtype=np.uint32, count=total)
     offsets = np.concatenate([[0], np.cumsum(sizes)])
     return [flat[offsets[i] : offsets[i + 1]].astype(np.int32) for i in range(n)]
+
+
+# diskannpy-style aliases (python/_files.py:63-95)
+def vectors_to_file(vector_file: str, vectors) -> None:
+    write_bin(vector_file, np.asarray(vectors))
+
+
+def vectors_from_file(vector_file: str, dtype=None):
+    return read_bin(vector_file, dtype if dtype is not None else infer_bin_dtype(vector_file))
