@@ -41,6 +41,7 @@ class Index:
     # storage dtype: uint8/int8 when quantized)
     inline: Optional[object] = None
     use_inline: bool = True
+    bit_points: Optional[PointSet] = None  # packed 1-bit tier
 
     @staticmethod
     def load(
@@ -64,6 +65,13 @@ class Index:
         """Build the scalar-quantized search tier (graph_index.cpp:86-101)."""
         self.qpoints = quantize.quantize_pointset(self.points, bits=bits, trim=trim)
         self.inline = None  # rebuild inline in the quantized dtype
+        return self
+
+    def enable_bit_tier(self) -> "Index":
+        """Build the packed 1-bit tier (Euclidean_Bit_Point /
+        Mips_Bit_Point, euclidian_point.h:332-420, mips_point.h:625-700):
+        beam search runs on hamming distances, rerank restores precision."""
+        self.bit_points = quantize.bit_quantize(self.points)
         return self
 
     def build_inline_cache(self, hbm_budget_bytes: int = 6 << 30):
@@ -111,19 +119,29 @@ class Index:
         qp = QueryParams(
             k=k, beamSize=beam_size, cut=cut, limit=limit, degree_limit=degree_limit
         ).resolved(self.graph.max_degree, self.points.n)
-        ps = self.qpoints if self.qpoints is not None else self.points
         q_full = jnp.asarray(np.asarray(queries))
-        # quantized query levels kept in f32: identical distance values, and
-        # the Pallas kernel needs a f32-loadable query block (Mosaic cannot
-        # dynamically row-load int8 VMEM)
-        q = quantize.translate_query(q_full, ps).astype(jnp.float32)
-        inline = self.build_inline_cache() if self.use_inline else None
+        if self.bit_points is not None:
+            # 1-bit hamming tier: cheapest beam phase, mandatory rerank.
+            # Hamming has huge tie classes, so the cut rule is unusable:
+            # search with k=0 (pure beam) and rerank the frontier.
+            ps = self.bit_points
+            q = quantize.bit_translate_query(q_full, ps)
+            inline = None
+            bits, search_k = 1, 0
+        else:
+            ps = self.qpoints if self.qpoints is not None else self.points
+            # quantized query levels kept in f32: identical distance values,
+            # and the Pallas kernel needs a f32-loadable query block (Mosaic
+            # cannot dynamically row-load int8 VMEM)
+            q = quantize.translate_query(q_full, ps).astype(jnp.float32)
+            inline = self.build_inline_cache() if self.use_inline else None
+            bits, search_k = 32, k
         L = max(qp.beamSize, k)
         B = q.shape[0]
         common = dict(
-            metric=ps.metric, n_valid=ps.n, k=k, L=L, cut=qp.cut,
+            metric=ps.metric, n_valid=ps.n, k=search_k, L=L, cut=qp.cut,
             degree_limit=qp.degree_limit, expand=expand,
-            use_inline=self.use_inline,
+            use_inline=self.use_inline and inline is not None, bits=bits,
         )
         start = jnp.asarray([self.start_point], dtype=jnp.int32)
         t1 = (5 * L) // 2

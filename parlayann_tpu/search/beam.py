@@ -91,6 +91,7 @@ def _merge(beam_ids, beam_dists, beam_exp, cand_ids, cand_dists, L: int):
     static_argnames=(
         "metric", "n_valid", "k", "L", "cut", "limit", "degree_limit",
         "expand", "record_visited", "exclude_self", "use_inline", "block_b",
+        "bits",
     ),
 )
 def beam_search_batch(
@@ -115,6 +116,7 @@ def beam_search_batch(
     use_inline: bool = True,
     block_b: int = 256,
     init_state: Optional[tuple] = None,
+    bits: int = 32,
 ) -> BeamResult:
     B, d = queries.shape
     R = int(nbrs.shape[1])
@@ -131,7 +133,13 @@ def beam_search_batch(
 
     def xla_distances(ids, valid):
         vecs = jnp.take(points_data, jnp.clip(ids, 0, points_data.shape[0] - 1), axis=0)
-        dd = distance.gathered(queries, vecs, metric)
+        if bits == 1:
+            # packed 1-bit tier: XOR + popcount hamming (mips_point.h:625-700)
+            from parlayann_tpu.ops import quantize as _q
+
+            dd = _q.hamming_distance(queries, vecs)
+        else:
+            dd = distance.gathered(queries, vecs, metric)
         return jnp.where(valid, dd, INF)
 
     if init_state is not None:

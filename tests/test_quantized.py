@@ -67,3 +67,28 @@ def test_build_on_quantized_points(rng):
     ids, _, _ = idx.batch_search(Q, k=k, beam_size=40)
     rec = _recall(np.asarray(ids), np.asarray(gt))
     assert rec >= 0.85, rec
+
+
+def test_bit_tier_search(rng):
+    """1-bit hamming beam phase + full-precision rerank."""
+    n, d, k = 800, 64, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((30, d)).astype(np.float32)
+    ps = PointSet.from_numpy(X)
+    bp = BuildParams(R=16, L=32, alpha=1.2, num_passes=2, batch_cap_frac=0.25)
+    g, _ = build_vamana_graph(ps, bp)
+    gt, _ = exact.exact_knn(Q, ps, k, chunk=128)
+    gt = np.asarray(gt)
+
+    idx = Index(points=ps, graph=g).enable_bit_tier()
+    assert idx.bit_points.data.dtype == np.uint32
+    ids, dists, _ = idx.batch_search(Q, k=k, beam_size=64, rerank_factor=10)
+    rec = _recall(np.asarray(ids), gt)
+    # coarse tier + rerank: useful but below full precision
+    assert rec >= 0.5, rec
+    # reranked dists are true full-precision distances
+    row = np.asarray(ids)[0]
+    valid = row >= 0
+    want = ((X[row[valid]] - Q[0]) ** 2).sum(1)
+    np.testing.assert_allclose(np.asarray(dists)[0][valid], want, rtol=1e-4,
+                               atol=1e-3)
