@@ -145,6 +145,7 @@ def build_hcnng_index(
 ):
     """Convenience wrapper (python/builder.cpp:114-140; defaults from
     docs/algorithms.md:92-97)."""
+    metric = Metric.coerce(metric)
     ps = data if isinstance(data, PointSet) else PointSet.from_numpy(
         np.asarray(data), metric=metric
     )

@@ -277,9 +277,13 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
         batch = order[lo:hi]
         blev = levels_of[batch]
         entry = np.full(len(batch), entrance, dtype=np.int32)
-        for l in range(ent_level, -1, -1):
+        # start at the batch's own max level, not just the entrance level —
+        # points above the current entrance insert on ALL their levels
+        # (HNSW.hpp:991-1007), not only after later reverse edges wire them
+        for l in range(max(ent_level, int(blev.max())), -1, -1):
             ins_mask = blev >= l
-            desc_mask = ~ins_mask
+            # only descend through levels the entrance actually reaches
+            desc_mask = ~ins_mask & (l <= ent_level)
             if desc_mask.any() and l > 0:
                 sub = np.flatnonzero(desc_mask)
                 entry[sub] = _descend(
@@ -320,6 +324,7 @@ def build_hnsw_index(
 ):
     """Convenience wrapper (python/builder.cpp:202-237; defaults from
     docs/algorithms.md:77-81)."""
+    metric = Metric.coerce(metric)
     ps = data if isinstance(data, PointSet) else PointSet.from_numpy(
         np.asarray(data), metric=metric
     )

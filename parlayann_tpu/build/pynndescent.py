@@ -223,6 +223,7 @@ def build_pynndescent_index(
 ):
     """Convenience wrapper (python/builder.cpp:158-184; defaults from
     docs/algorithms.md:110-114)."""
+    metric = Metric.coerce(metric)
     ps = data if isinstance(data, PointSet) else PointSet.from_numpy(
         np.asarray(data), metric=metric
     )

@@ -12,15 +12,20 @@ static shapes:
   * append path (old_deg + count <= R): sort-based set-union of the old row
     and the new sources (the reference's add_neighbors_without_repeats,
     index.h:141-147 — order-free because rows are distance-sorted only at
-    the end of build, index.h:180-185).
+    the end of build, index.h:180-185). Ids only — no vector gathers.
   * prune path (overflow): full robustPrune over old-row ∪ new-sources with
-    carried distances — but run under a static *budget* of rows per batch,
-    chosen large enough to cover real batches; overflow rows beyond the
-    budget fall back to sort-truncate-by-distance (HNSW's overflow rule,
-    HNSW.hpp:940-988) and are counted in the returned stats.
+    carried distances. Overflow rows are compacted to the front of a
+    priority permutation; ``prepare_reverse_append`` returns that
+    permutation plus the exact overflow count so the *host* dispatches
+    ``ceil(n_overflow / chunk)`` fixed-shape ``prune_reverse_chunk`` steps —
+    every overflow target gets the true α-prune (index.h:289-300
+    semantics), unlike round 1's budget-capped sort-truncate fallback.
 
 Sorting edges by (target, dist) means each group's first ``cap`` members are
 the *closest* new sources, so capping group width loses only the farthest.
+
+``exchange_reverse_edges`` (below) keeps the fused single-call form for
+HNSW, whose overflow rule really is sort-truncate (HNSW.hpp:940-988).
 """
 
 from __future__ import annotations
@@ -40,6 +45,147 @@ class ReverseStats(NamedTuple):
     n_groups: jax.Array  # unique targets touched
     n_overflow: jax.Array  # targets that needed robustPrune
     n_fallback: jax.Array  # overflow targets beyond the prune budget
+
+
+class ReverseCtx(NamedTuple):
+    """Sorted-edge context handed from the append step to the prune chunks.
+
+    All arrays are length M = B*R (the flattened edge list, sorted by
+    (target, dist)). ``perm`` lists edge-row positions with overflow
+    group-first rows compacted to the front; ``n_overflow`` of them need an
+    α-prune.
+    """
+
+    perm: jax.Array  # (M,) int32 priority permutation
+    s_tgt: jax.Array  # (M,) sorted targets (n_pad = invalid)
+    s_src: jax.Array  # (M,) sources, sorted alongside
+    s_dist: jax.Array  # (M,) edge distances, sorted alongside
+    count: jax.Array  # (M,) group size at each sorted position
+    n_overflow: jax.Array  # () int32
+
+
+def prepare_reverse_append(
+    nbrs: jax.Array,  # (n_pad, R)
+    degs: jax.Array,  # (n_pad,)
+    batch_ids: jax.Array,  # (B,) source vertices (-1 = inactive)
+    sel_ids: jax.Array,  # (B, R) their new out-edges (-1 padded)
+    sel_dists: jax.Array,  # (B, R) edge distances (symmetric metrics)
+    *,
+    R: int,
+    n_valid: int,
+    cap: int = 0,
+):
+    """Semisort edges, append into non-overflowing targets (ids only, no
+    vector traffic), and return the overflow context for the prune chunks.
+    """
+    B = batch_ids.shape[0]
+    M = B * R
+    n_pad = nbrs.shape[0]
+    cap = cap if cap > 0 else R
+
+    tgt = sel_ids.reshape(M)
+    src = jnp.repeat(batch_ids, R)
+    dist = sel_dists.reshape(M)
+    valid = (tgt >= 0) & (src >= 0) & (dist < INF)
+    tgt_key = jnp.where(valid, tgt, n_pad).astype(jnp.int32)
+
+    # semisort: one batched sort by (target, distance) (index.h:278-282)
+    s_tgt, s_dist, s_src = jax.lax.sort(
+        (tgt_key, dist, src), num_keys=2, is_stable=True
+    )
+    s_valid = s_tgt < n_pad
+
+    pos = jnp.arange(M, dtype=jnp.int32)
+    fo = jnp.concatenate([jnp.ones(1, bool), s_tgt[1:] != s_tgt[:-1]]) & s_valid
+    left = jnp.searchsorted(s_tgt, s_tgt, side="left").astype(jnp.int32)
+    right = jnp.searchsorted(s_tgt, s_tgt, side="right").astype(jnp.int32)
+    count = right - left  # true group size
+    old_deg_all = jnp.take(degs, jnp.clip(s_tgt, 0, n_pad - 1), axis=0)
+    total = old_deg_all + count
+    overflow = total > R
+
+    prio = jnp.where(fo & overflow, 0, jnp.where(fo, 1, 2)).astype(jnp.int32)
+    _, perm = jax.lax.sort((prio, pos), num_keys=1, is_stable=True)
+    n_overflow = jnp.sum(fo & overflow).astype(jnp.int32)
+
+    # ---- append pass: one vectorized shot over all M rows (no chunking
+    # needed — the only gather is the (M, R) int32 old rows) ----
+    is_app = fo & ~overflow
+    old_row = jnp.take(nbrs, jnp.clip(s_tgt, 0, n_pad - 1), axis=0)
+    old_ok = jnp.arange(R, dtype=jnp.int32)[None, :] < old_deg_all[:, None]
+    jcol = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    gidx = jnp.clip(pos[:, None] + jcol, 0, M - 1)
+    g_src = s_src[gidx]
+    g_ok = (jcol < jnp.minimum(count, cap)[:, None]) & ((pos[:, None] + jcol) < M)
+    app_ids, app_deg = _union_rows(old_row, old_ok, g_src, g_ok, n_valid, R)
+    wt = jnp.where(is_app, s_tgt, n_pad)
+    nbrs = nbrs.at[wt].set(app_ids, mode="drop")
+    degs = degs.at[wt].set(app_deg, mode="drop")
+
+    ctx = ReverseCtx(perm, s_tgt, s_src, s_dist, count, n_overflow)
+    stats = ReverseStats(
+        n_groups=jnp.sum(fo),
+        n_overflow=n_overflow,
+        n_fallback=jnp.zeros((), jnp.int32),
+    )
+    return nbrs, degs, ctx, stats
+
+
+def prune_reverse_chunk(
+    nbrs: jax.Array,
+    degs: jax.Array,
+    ctx: ReverseCtx,
+    offset,  # traced int32 scalar: position into ctx.perm
+    points_data: jax.Array,
+    alpha,
+    *,
+    R: int,
+    metric: Metric,
+    n_valid: int,
+    chunk: int = 4096,
+    cap: int = 0,
+):
+    """α-prune ``chunk`` overflow targets starting at ``perm[offset]``
+    (index.h:289-300). Rows past ``n_overflow`` are masked inactive."""
+    M = ctx.perm.shape[0]
+    n_pad = nbrs.shape[0]
+    cap = cap if cap > 0 else R
+    jcol = jnp.arange(cap, dtype=jnp.int32)[None, :]
+
+    off = jnp.asarray(offset, jnp.int32)
+    prows = jax.lax.dynamic_slice(
+        jnp.concatenate([ctx.perm, jnp.zeros((chunk,), jnp.int32)]),
+        (off,), (chunk,),
+    )
+    pmask = (off + jnp.arange(chunk, dtype=jnp.int32)) < ctx.n_overflow
+    t = jnp.where(pmask, ctx.s_tgt[jnp.clip(prows, 0, M - 1)], n_pad)
+    p_ids = jnp.where(pmask, t, -1)
+
+    gidx = jnp.clip(prows[:, None] + jcol, 0, M - 1)
+    g_src = ctx.s_src[gidx]
+    g_dist = ctx.s_dist[gidx]
+    g_ok = (jcol < jnp.minimum(ctx.count[jnp.clip(prows, 0, M - 1)], cap)[:, None]) & (
+        (prows[:, None] + jcol) < M
+    ) & pmask[:, None]
+
+    old_row = jnp.take(nbrs, jnp.clip(t, 0, n_pad - 1), axis=0)
+    odeg = jnp.take(degs, jnp.clip(t, 0, n_pad - 1), axis=0)
+    old_ok = (jnp.arange(R, dtype=jnp.int32)[None, :] < odeg[:, None]) & pmask[:, None]
+    t_vec = jnp.take(points_data, jnp.clip(t, 0, points_data.shape[0] - 1), axis=0)
+    old_vecs = jnp.take(
+        points_data, jnp.clip(old_row, 0, points_data.shape[0] - 1), axis=0
+    )
+    old_dists = jnp.where(old_ok, distance.gathered(t_vec, old_vecs, metric), INF)
+    cand_ids = jnp.concatenate([old_row, g_src], axis=1)
+    cand_d = jnp.concatenate([old_dists, jnp.where(g_ok, g_dist, INF)], axis=1)
+    pr = robust_prune_chunked(
+        p_ids, cand_ids, cand_d, points_data, alpha,
+        R=R, metric=metric, n_valid=n_valid, chunk=chunk,
+    )
+    wt = jnp.where(pmask, t, n_pad)
+    nbrs = nbrs.at[wt].set(pr.ids, mode="drop")
+    degs = degs.at[wt].set(pr.degree, mode="drop")
+    return nbrs, degs
 
 
 def _union_rows(old_ids, old_valid, new_ids, new_valid, n_valid: int, width: int):

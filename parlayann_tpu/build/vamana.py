@@ -35,46 +35,33 @@ from parlayann_tpu.ops import distance
 from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.search.beam import beam_search_batch
 from parlayann_tpu.build.prune import robust_prune_chunked
-from parlayann_tpu.build.reverse import exchange_reverse_edges
+from parlayann_tpu.build.reverse import (
+    exchange_reverse_edges,
+    prepare_reverse_append,
+    prune_reverse_chunk,
+)
 
 
 class BuildStats(NamedTuple):
     build_time: float
-    beam_time: float
-    reverse_time: float
+    beam_time: float  # t_beam (index.h:217)
+    bidirect_time: float  # t_bidirect (index.h:218)
+    prune_time: float  # t_prune (index.h:219)
     total_visited: int
     total_cmps: int
     n_fallback: int
 
 
-@partial(
-    jax.jit,
-    static_argnames=("R", "L", "vmax", "metric", "n_valid", "expand", "chunk"),
-    donate_argnums=(0, 1),
-)
-def _insert_batch(
-    nbrs,
-    degs,
-    points_data,
-    batch_ids,
-    alpha,
-    start,
-    *,
-    R: int,
-    L: int,
-    vmax: int,
-    metric: Metric,
-    n_valid: int,
-    expand: int = 1,
-    chunk: int = 2048,
+def _beam_phase_impl(
+    nbrs, degs, points_data, batch_ids, start,
+    *, R, L, vmax, metric, n_valid, expand,
 ):
-    B = batch_ids.shape[0]
-    n_pad = nbrs.shape[0]
+    """Read phase: beam search from the start point, k=0 (no cut), recording
+    the expanded/visited list as prune candidates (index.h:251-262).
+    Candidates = visited ∪ current out-edges (add=true, index.h:70-76 —
+    rows are non-empty on passes >= 2)."""
     safe_ids = jnp.clip(batch_ids, 0, points_data.shape[0] - 1)
     queries = jnp.take(points_data, safe_ids, axis=0)
-
-    # read phase: beam search from the start point, k=0 (no cut), recording
-    # the expanded/visited list as prune candidates (index.h:251-262)
     res = beam_search_batch(
         queries,
         points_data,
@@ -92,9 +79,6 @@ def _insert_batch(
         exclude_self=True,
         use_inline=False,
     )
-
-    # forward prune: candidates = visited  U  current out-edges (add=true,
-    # index.h:70-76 — rows are non-empty on passes >= 2)
     old_row = jnp.take(nbrs, safe_ids, axis=0)
     odeg = jnp.take(degs, safe_ids, axis=0)
     old_ok = jnp.arange(R, dtype=jnp.int32)[None, :] < odeg[:, None]
@@ -105,24 +89,72 @@ def _insert_batch(
     # visited_dists already carries INF in unused slots (scan-stacked order)
     cand_ids = jnp.concatenate([res.visited_ids, old_row], axis=1)
     cand_d = jnp.concatenate([res.visited_dists, old_d], axis=1)
+    return cand_ids, cand_d, jnp.sum(res.num_visited), jnp.sum(res.dist_cmps)
+
+
+def _fwd_phase_impl(
+    nbrs, degs, points_data, batch_ids, cand_ids, cand_d, alpha,
+    *, R, metric, n_valid, chunk,
+):
+    """Forward robustPrune + row scatter (index.h:63-120, :268-270)."""
+    n_pad = nbrs.shape[0]
     pr = robust_prune_chunked(
         batch_ids, cand_ids, cand_d, points_data, alpha,
         R=R, metric=metric, n_valid=n_valid, chunk=chunk,
     )
-
-    # write phase: scatter forward rows (index.h:268-270)
     wt = jnp.where(batch_ids >= 0, batch_ids, n_pad)
     nbrs = nbrs.at[wt].set(pr.ids, mode="drop")
     degs = degs.at[wt].set(pr.degree, mode="drop")
+    return nbrs, degs, pr.ids, pr.dists
 
-    # bidirect + conditional prune (index.h:278-300)
-    nbrs, degs, rstats = exchange_reverse_edges(
-        nbrs, degs, batch_ids, pr.ids, pr.dists, points_data, alpha,
+
+# fused step (production path): all three device phases in one dispatch;
+# overflow targets are α-pruned by host-dispatched prune_reverse_chunk calls
+@partial(
+    jax.jit,
+    static_argnames=("R", "L", "vmax", "metric", "n_valid", "expand", "chunk"),
+    donate_argnums=(0, 1),
+)
+def _insert_batch(
+    nbrs, degs, points_data, batch_ids, alpha, start,
+    *, R: int, L: int, vmax: int, metric: Metric, n_valid: int,
+    expand: int = 1, chunk: int = 2048,
+):
+    cand_ids, cand_d, tot_vis, tot_cmp = _beam_phase_impl(
+        nbrs, degs, points_data, batch_ids, start,
+        R=R, L=L, vmax=vmax, metric=metric, n_valid=n_valid, expand=expand,
+    )
+    nbrs, degs, sel_ids, sel_dists = _fwd_phase_impl(
+        nbrs, degs, points_data, batch_ids, cand_ids, cand_d, alpha,
         R=R, metric=metric, n_valid=n_valid, chunk=chunk,
     )
-    tot_vis = jnp.sum(res.num_visited)
-    tot_cmp = jnp.sum(res.dist_cmps)
-    return nbrs, degs, (tot_vis, tot_cmp, rstats.n_fallback)
+    nbrs, degs, ctx, rstats = prepare_reverse_append(
+        nbrs, degs, batch_ids, sel_ids, sel_dists, R=R, n_valid=n_valid,
+    )
+    return nbrs, degs, ctx, (tot_vis, tot_cmp, rstats.n_overflow)
+
+
+# split steps (profiling path): same impl functions, one dispatch per phase
+_beam_phase = partial(
+    jax.jit,
+    static_argnames=("R", "L", "vmax", "metric", "n_valid", "expand"),
+)(lambda *a, **k: _beam_phase_impl(*a, **k))
+_fwd_phase = partial(
+    jax.jit,
+    static_argnames=("R", "metric", "n_valid", "chunk"),
+    donate_argnums=(0, 1),
+)(lambda *a, **k: _fwd_phase_impl(*a, **k))
+_rev_append_phase = partial(
+    jax.jit,
+    static_argnames=("R", "n_valid"),
+    donate_argnums=(0, 1),
+)(lambda *a, **k: prepare_reverse_append(*a, **k))
+
+_prune_chunk_step = partial(
+    jax.jit,
+    static_argnames=("R", "metric", "n_valid", "chunk"),
+    donate_argnums=(0, 1),
+)(lambda *a, **k: prune_reverse_chunk(*a, **k))
 
 
 @partial(
@@ -196,8 +228,14 @@ def build_vamana_graph(
     points: PointSet,
     bp: BuildParams,
     verbose: bool = False,
+    profile: bool = False,
 ) -> tuple[GraphIndexData, BuildStats]:
-    """Build a Vamana graph over ``points``. Returns (graph, stats)."""
+    """Build a Vamana graph over ``points``. Returns (graph, stats).
+
+    ``profile=True`` runs the batch step as three separate dispatches with a
+    device fence between them to fill the t_beam/t_bidirect/t_prune split
+    (index.h:217-222) — slightly slower wall-clock, same result.
+    """
     n = points.n
     R, L = bp.R, bp.L
     # visit budget for the insertion search: the reference leaves it
@@ -212,8 +250,13 @@ def build_vamana_graph(
     rng = np.random.default_rng(bp.seed)
     start = jnp.zeros((1,), dtype=jnp.int32)  # set_start (index.h:143)
 
+    def fence(x):
+        _ = np.asarray(x)[:1] if getattr(x, "ndim", 0) else np.asarray(x)
+
     t0 = time.perf_counter()
     tot_vis = tot_cmp = tot_fb = 0
+    t_beam = t_bidirect = t_prune = 0.0
+    prune_chunk = 4096
     if bp.single_batch:
         # random init edges + one batch per pass, each point searching from
         # itself (index.h:156-169, :239)
@@ -231,23 +274,51 @@ def build_vamana_graph(
             batch = _pad_pow2(order[lo:hi], max_batch)
             if bp.single_batch:
                 start = jnp.asarray(np.maximum(batch, 0))[:, None]
-            nbrs, degs, (v, c, fb) = _insert_batch(
-                nbrs,
-                degs,
-                points.data,
-                jnp.asarray(batch),
-                jnp.float32(alpha),
-                start,
-                R=R,
-                L=L,
-                vmax=vmax,
-                metric=points.metric,
-                n_valid=n,
-                expand=2,
-            )
+            batch_j = jnp.asarray(batch)
+            alpha_j = jnp.float32(alpha)
+            if profile:
+                tb = time.perf_counter()
+                cand_ids, cand_d, v, c = _beam_phase(
+                    nbrs, degs, points.data, batch_j, start,
+                    R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
+                    expand=2,
+                )
+                fence(cand_d)
+                t_beam += time.perf_counter() - tb
+                tb = time.perf_counter()
+                nbrs, degs, sel_ids, sel_dists = _fwd_phase(
+                    nbrs, degs, points.data, batch_j, cand_ids, cand_d,
+                    alpha_j, R=R, metric=points.metric, n_valid=n, chunk=2048,
+                )
+                fence(degs)
+                t_prune += time.perf_counter() - tb
+                tb = time.perf_counter()
+                nbrs, degs, ctx, rstats = _rev_append_phase(
+                    nbrs, degs, batch_j, sel_ids, sel_dists, R=R, n_valid=n,
+                )
+                novf = rstats.n_overflow
+                n_over = int(novf)
+                t_bidirect += time.perf_counter() - tb
+                tb = time.perf_counter()
+            else:
+                nbrs, degs, ctx, (v, c, novf) = _insert_batch(
+                    nbrs, degs, points.data, batch_j, alpha_j, start,
+                    R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
+                    expand=2,
+                )
+                n_over = int(novf)  # the one per-batch sync: chunk count
+            # α-prune EVERY overflow target (index.h:289-300) in fixed-shape
+            # chunks; round 1's sort-truncate fallback is gone (n_fallback=0)
+            for off in range(0, n_over, prune_chunk):
+                nbrs, degs = _prune_chunk_step(
+                    nbrs, degs, ctx, off, points.data, alpha_j,
+                    R=R, metric=points.metric, n_valid=n, chunk=prune_chunk,
+                )
+            if profile:
+                fence(degs)
+                t_prune += time.perf_counter() - tb
             tot_vis += int(v)
             tot_cmp += int(c)
-            tot_fb += int(fb)
             if verbose and bi % 8 == 0:
                 print(f"pass {p}: batch {bi+1}/{len(sched)} ({hi}/{n})", flush=True)
 
@@ -257,7 +328,7 @@ def build_vamana_graph(
     _ = int(jnp.sum(degs))  # readback fence (relay block_until_ready is unreliable)
     dt = time.perf_counter() - t0
     graph = GraphIndexData(neighbors=nbrs, degrees=degs, n=n, max_degree=R)
-    stats = BuildStats(dt, 0.0, 0.0, tot_vis, tot_cmp, tot_fb)
+    stats = BuildStats(dt, t_beam, t_bidirect, t_prune, tot_vis, tot_cmp, tot_fb)
     if verbose:
         avg, mx = graph.stats()
         print(f"Vamana build: {dt:.2f}s  avg/max degree {avg:.2f}/{mx}  "
@@ -283,6 +354,7 @@ def build_vamana_index(
     search reranks at full precision."""
     from parlayann_tpu.ops import quantize
 
+    metric = Metric.coerce(metric)
     ps = data if isinstance(data, PointSet) else PointSet.from_numpy(
         np.asarray(data), metric=metric, normalize=(metric is Metric.MIPS)
     )

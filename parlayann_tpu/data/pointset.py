@@ -63,6 +63,7 @@ class PointSet:
         row_pad: int = 8,
     ) -> "PointSet":
         arr = np.asarray(arr)
+        metric = Metric.coerce(metric)
         n, d = arr.shape
         if normalize:
             # mips auto-normalization (builder.cpp:45-54, euclidian_point.h:119)

@@ -42,6 +42,9 @@ class Index:
     inline: Optional[object] = None
     use_inline: bool = True
     bit_points: Optional[PointSet] = None  # packed 1-bit tier
+    jl_tier: Optional[object] = None  # quantize.JLTier
+    t2_points: Optional[PointSet] = None  # ternary 2-bit MIPS tier
+    t4_points: Optional[PointSet] = None  # packed int4 MIPS tier
 
     @staticmethod
     def load(
@@ -50,12 +53,21 @@ class Index:
         metric: Metric = Metric.L2,
         dtype=None,
         quantize_bits: int = 8,
+        auto_tier: bool = True,
     ) -> "Index":
-        ps = PointSet.from_file(data_path, dtype=dtype, metric=metric)
+        ps = PointSet.from_file(data_path, dtype=dtype, metric=Metric.coerce(metric))
         g = GraphIndexData.load(graph_path)
         idx = Index(points=ps, graph=g)
         if quantize_bits and ps.data.dtype == jnp.float32:
             idx.qpoints = quantize.quantize_pointset(ps, bits=quantize_bits)
+        if auto_tier:
+            # the reference auto-builds aggressive side-tiers at load
+            # (graph_index.cpp:86-101): Euclid d>800 -> JL bit tier;
+            # MIPS d>200 -> 2-bit ternary tier
+            if ps.metric is Metric.L2 and ps.d > 800:
+                idx.enable_jl(jl_dims=1024, bits=1)
+            elif ps.metric is Metric.MIPS and ps.d > 200:
+                idx.enable_mips_2bit()
         return idx
 
     def save(self, graph_path: str) -> None:
@@ -72,6 +84,27 @@ class Index:
         Mips_Bit_Point, euclidian_point.h:332-420, mips_point.h:625-700):
         beam search runs on hamming distances, rerank restores precision."""
         self.bit_points = quantize.bit_quantize(self.points)
+        return self
+
+    def enable_jl(self, jl_dims: int = 64, bits: int = 8, seed: int = 0,
+                  sparse_nnz: int = 0) -> "Index":
+        """Build a JL search tier (jl_point.h; graph_index.cpp:86-101):
+        beam search runs on quantized random projections, rerank restores
+        precision. ``bits=1`` -> sign-bit hamming variant."""
+        self.jl_tier = quantize.JLTier(
+            self.points, jl_dims=jl_dims, bits=bits, seed=seed,
+            sparse_nnz=sparse_nnz,
+        )
+        return self
+
+    def enable_mips_2bit(self) -> "Index":
+        """Ternary 2-bit MIPS tier (Mips_2Bit_Point, mips_point.h:495-621)."""
+        self.t2_points = quantize.mips_2bit_quantize(self.points)
+        return self
+
+    def enable_mips_4bit(self, trim: float = 0.0) -> "Index":
+        """Packed int4 MIPS tier (Mips_4Bit_Point, mips_point.h:706-849)."""
+        self.t4_points = quantize.mips_4bit_quantize(self.points, trim=trim)
         return self
 
     def build_inline_cache(self, hbm_budget_bytes: int = 6 << 30):
@@ -120,14 +153,28 @@ class Index:
             k=k, beamSize=beam_size, cut=cut, limit=limit, degree_limit=degree_limit
         ).resolved(self.graph.max_degree, self.points.n)
         q_full = jnp.asarray(np.asarray(queries))
+        # tier priority: 1-bit > JL > 2-bit > 4-bit > scalar-q > full.
+        # Coarse tiers (bit/JL-bit/2-bit) have huge tie classes, so the
+        # metric cut rule is unusable: search with k=0 (pure beam) and let
+        # the mandatory rerank restore precision (beamSearch.h:394-454).
+        inline = None
         if self.bit_points is not None:
-            # 1-bit hamming tier: cheapest beam phase, mandatory rerank.
-            # Hamming has huge tie classes, so the cut rule is unusable:
-            # search with k=0 (pure beam) and rerank the frontier.
             ps = self.bit_points
             q = quantize.bit_translate_query(q_full, ps)
-            inline = None
             bits, search_k = 1, 0
+        elif self.jl_tier is not None:
+            ps = self.jl_tier.points
+            q = self.jl_tier.translate_query(q_full)
+            bits = 1 if self.jl_tier.bits == 1 else 32
+            search_k = 0 if bits == 1 else k
+        elif self.t2_points is not None:
+            ps = self.t2_points
+            q = quantize.mips_2bit_translate_query(q_full, ps)
+            bits, search_k = 2, 0
+        elif self.t4_points is not None:
+            ps = self.t4_points
+            q = quantize.mips_4bit_translate_query(q_full, ps)
+            bits, search_k = 4, k
         else:
             ps = self.qpoints if self.qpoints is not None else self.points
             # quantized query levels kept in f32: identical distance values,

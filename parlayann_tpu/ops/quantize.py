@@ -73,11 +73,13 @@ def quantize_pointset(ps: PointSet, bits: int = 8, trim: float = 0.0) -> PointSe
     """Build a quantized tier of a PointSet (the re-quantizing PointRange
     constructor, point_range.h:55-66). Returns a new PointSet whose
     ``translate_query`` counterpart is :func:`translate_query`."""
+    # params over valid rows only — zero pad rows would widen the range
+    # (pull lo to 0 / bias the trim quantile) and waste resolution
     if ps.metric is Metric.L2:
-        slope, offset = euclidean_params(ps.data, bits)
+        slope, offset = euclidean_params(ps.data[: ps.n], bits)
         qdata = euclidean_translate(ps.data, slope, offset, bits)
     else:
-        slope, offset = mips_params(ps.data, bits, trim)
+        slope, offset = mips_params(ps.data[: ps.n], bits, trim)
         qdata = mips_translate(ps.data, slope, offset, bits)
     return PointSet(
         data=qdata,
@@ -156,32 +158,174 @@ def hamming_all_pairs(q_bits: jax.Array, p_bits: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Johnson-Lindenstrauss projections (jl_point.h): dense random sign
-# projection to jl_dims, then 8-bit or 1-bit quantization. The reference's
-# sparse variants trade matmul cost for memory traffic; on the MXU the dense
-# projection is one matmul, so only the dense form is provided.
+# 2-bit MIPS tier: 3-valued {-1, 0, +1} quantization as two packed bitplanes
+# (Mips_2Bit_Point, mips_point.h:495-621). Plane 0 = sign (+1 -> 1), plane 1
+# = nonzero (|x| > cut). Negated-dot distance over the ternary values:
+#   dist = 2 * popcount(sign_p XOR sign_q AND nz) - popcount(nz_p AND nz_q)
+# The cut is the 30%/70% quantile bound (mips_point.h:601-618).
+# Word layout: data = (n, 2*W) uint32 = [sign words | nonzero words].
 # ---------------------------------------------------------------------------
 
 
-def jl_projection_matrix(d: int, jl_dims: int, seed: int = 0) -> jax.Array:
-    """Dense +-1 projection (jl_point.h:22-104), scaled by 1/sqrt(jl_dims)."""
+def mips_2bit_params(data: jax.Array) -> jax.Array:
+    """Ternary cut = max(|q30|, q70) over all coords (mips_point.h:601-618)."""
+    flat = data.astype(jnp.float32).reshape(-1)
+    lo = jnp.quantile(flat, 0.3)
+    hi = jnp.quantile(flat, 0.7)
+    return jnp.maximum(hi, -lo)
+
+
+def _pack_ternary(x: jax.Array, cut) -> jax.Array:
+    """(n, d) floats -> (n, 2*W) uint32 [sign planes | nonzero planes]."""
+    sign = _pack_bits((x > cut).astype(jnp.uint32))
+    nz = _pack_bits((jnp.abs(x) > cut).astype(jnp.uint32))
+    return jnp.concatenate([sign, nz], axis=1)
+
+
+def mips_2bit_quantize(ps: PointSet) -> PointSet:
+    """2-bit ternary MIPS tier; the cut lives in quant_offset."""
+    cut = mips_2bit_params(ps.data[: ps.n])
+    packed = _pack_ternary(ps.data.astype(jnp.float32), cut)
+    return PointSet(
+        data=packed, n=ps.n, d=ps.d, metric=Metric.MIPS, bits=2,
+        quant_slope=None, quant_offset=jnp.asarray(cut, jnp.float32),
+    )
+
+
+def mips_2bit_translate_query(q: jax.Array, tps: PointSet) -> jax.Array:
+    return _pack_ternary(q.astype(jnp.float32), tps.quant_offset)
+
+
+def mips_2bit_distance(q_words: jax.Array, c_words: jax.Array) -> jax.Array:
+    """(B, 2W) vs (B, K, 2W) -> (B, K) ternary neg-dot
+    (mips_point.h:529-547)."""
+    W = q_words.shape[-1] // 2
+    qs, qn = q_words[:, None, :W], q_words[:, None, W:]
+    cs, cn = c_words[..., :W], c_words[..., W:]
+    nz = jnp.bitwise_and(qn, cn)
+    neg = jnp.bitwise_and(jnp.bitwise_xor(qs, cs), nz)
+    # int32 before the subtraction: popcount keeps the uint32 input dtype
+    # and 2*n_neg - n_nz would wrap below zero
+    n_neg = jnp.sum(jax.lax.population_count(neg).astype(jnp.int32), axis=-1)
+    n_nz = jnp.sum(jax.lax.population_count(nz).astype(jnp.int32), axis=-1)
+    return (2 * n_neg - n_nz).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# 4-bit MIPS tier: symmetric scalar quantization to [-7, 7], two nibbles
+# packed per int8 byte (Mips_4Bit_Point, mips_point.h:706-849; distance_4
+# at :344-354). Unpacking is (x<<4)>>4 (low) and x>>4 (high) with
+# arithmetic shifts; distances run as an f32 einsum on the unpacked values
+# (int8 einsum accumulates wrong on TPU — see tests/test_quantized.py).
+# Layout: nibble j of byte i holds coords [i] (low) and [i + d/2] (high),
+# matching the reference's two-loop distance.
+# ---------------------------------------------------------------------------
+
+
+def mips_4bit_quantize(ps: PointSet, trim: float = 0.0) -> PointSet:
+    """4-bit packed MIPS tier; scale in quant_slope."""
+    slope, _ = mips_params(ps.data[: ps.n], bits=4, trim=trim)
+    x = ps.data.astype(jnp.float32)
+    q = jnp.clip(jnp.round(x * slope), -7, 7).astype(jnp.int32)
+    n_pad, d = q.shape
+    if d % 2:
+        q = jnp.pad(q, ((0, 0), (0, 1)))
+    half = q.shape[1] // 2
+    lo = q[:, :half] & 0xF
+    hi = q[:, half:] & 0xF
+    packed = (lo | (hi << 4)).astype(jnp.int8)
+    return PointSet(
+        data=packed, n=ps.n, d=ps.d, metric=Metric.MIPS, bits=4,
+        quant_slope=jnp.asarray(slope, jnp.float32),
+        quant_offset=jnp.float32(0.0),
+    )
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """(..., d/2) int8 -> (..., d) int8 in [-8, 7] ([low half | high half])."""
+    x = packed.astype(jnp.int8)
+    lo = jnp.left_shift(x, 4)
+    lo = jnp.right_shift(lo, 4)  # arithmetic: sign-extends the low nibble
+    hi = jnp.right_shift(x, 4)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def mips_4bit_translate_query(q: jax.Array, tps: PointSet) -> jax.Array:
+    """Queries stay UNPACKED f32 int4-levels: the distance is an einsum
+    against unpacked candidates, and f32 queries are what the TPU kernels
+    can load (same rule as the 8-bit tier)."""
+    lev = jnp.clip(jnp.round(q.astype(jnp.float32) * tps.quant_slope), -7, 7)
+    if lev.shape[-1] % 2:
+        lev = jnp.pad(lev, ((0, 0), (0, 1)))
+    return lev
+
+
+def mips_4bit_distance(q_levels: jax.Array, c_packed: jax.Array) -> jax.Array:
+    """(B, d') f32 levels vs (B, K, d'/2) packed int8 -> (B, K) neg-dot."""
+    c = unpack_int4(c_packed).astype(jnp.float32)
+    return -jnp.einsum(
+        "bd,bkd->bk", q_levels, c, preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projections (jl_point.h): random sign projection to
+# jl_dims, then 8-bit or 1-bit quantization.
+#   * dense ±1 rows (Mips_JL_Point, jl_point.h:22-104)
+#   * sparse rows with 6 nonzeros (Mips_JL_Sparse_Point jl_point.h:193-285,
+#     Euclidean_JL_Sparse_Point euclidian_point.h:244-330) — here the sparse
+#     PATTERN is reproduced but materialized as a dense (d, jl_dims) matrix:
+#     on the MXU one dense matmul beats any sparse gather, and zeros are
+#     free. The reference's sparsity only saved CPU translate time.
+# bits=1 gives the sign-bit XOR-distance variants (jl_point.h:108-191).
+# ---------------------------------------------------------------------------
+
+
+def jl_projection_matrix(d: int, jl_dims: int, seed: int = 0,
+                         sparse_nnz: int = 0) -> jax.Array:
+    """(d, jl_dims) random sign projection; ``sparse_nnz`` > 0 keeps only
+    that many nonzero input coords per output dim (jl_point.h:193-285)."""
     key = jax.random.key(seed)
-    signs = jax.random.rademacher(key, (d, jl_dims), dtype=jnp.float32)
+    k_sign, k_pat = jax.random.split(key)
+    signs = jax.random.rademacher(k_sign, (d, jl_dims), dtype=jnp.float32)
+    if sparse_nnz and sparse_nnz < d:
+        # per output dim, keep sparse_nnz random input coords
+        scores = jax.random.uniform(k_pat, (d, jl_dims))
+        thr = -jnp.sort(-scores, axis=0)[sparse_nnz - 1]  # kth largest per col
+        signs = jnp.where(scores >= thr[None, :], signs, 0.0)
+        return signs / jnp.sqrt(sparse_nnz)
     return signs / jnp.sqrt(jl_dims)
+
+
+class JLTier:
+    """A JL search tier: projection matrix + quantized projected points.
+
+    ``bits``: 1 -> sign bits + hamming; 8 -> scalar-quantized projections
+    with the source metric (L2 distances are JL-preserved; MIPS dots too).
+    """
+
+    def __init__(self, ps: PointSet, jl_dims: int = 64, bits: int = 8,
+                 seed: int = 0, sparse_nnz: int = 0):
+        self.proj = jl_projection_matrix(ps.d, jl_dims, seed, sparse_nnz)
+        self.bits = bits
+        self.jl_dims = jl_dims
+        proj = ps.data.astype(jnp.float32) @ self.proj  # (n_pad, jl_dims)
+        projected = PointSet(
+            data=proj, n=ps.n, d=jl_dims, metric=ps.metric, bits=32
+        )
+        self.points = (
+            bit_quantize(projected) if bits == 1
+            else quantize_pointset(projected, bits=bits)
+        )
+
+    def translate_query(self, q: jax.Array) -> jax.Array:
+        proj = q.astype(jnp.float32) @ self.proj
+        if self.bits == 1:
+            return bit_translate_query(proj, self.points)
+        return translate_query(proj, self.points).astype(jnp.float32)
 
 
 def jl_project(ps: PointSet, jl_dims: int = 64, bits: int = 8,
                seed: int = 0) -> PointSet:
-    """JL tier: project then quantize (jl_point.h). ``bits``=1 gives the
-    sign-bit XOR-distance variant (Mips_JL_Bit_Point, jl_point.h:108-191)."""
-    P = jl_projection_matrix(ps.d, jl_dims, seed)
-    proj = ps.data.astype(jnp.float32) @ P  # (n_pad, jl_dims)
-    projected = PointSet(
-        data=proj, n=ps.n, d=jl_dims, metric=Metric.MIPS, bits=32
-    )
-    out = bit_quantize(projected) if bits == 1 else quantize_pointset(
-        projected, bits=bits
-    )
-    # remember the projection so queries can follow (seeded, regenerable)
-    out.quant_offset = jnp.float32(seed) if bits != 1 else out.quant_offset
-    return out
+    """Back-compat helper: the quantized projected PointSet of a JLTier."""
+    return JLTier(ps, jl_dims=jl_dims, bits=bits, seed=seed).points

@@ -24,7 +24,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from parlayann_tpu.types import BuildParams, Metric
-from parlayann_tpu.build.vamana import _insert_batch, _sort_rows_by_distance, batch_schedule, _pad_pow2
+from parlayann_tpu.build.vamana import (
+    _beam_phase_impl,
+    _fwd_phase_impl,
+    _sort_rows_by_distance,
+    batch_schedule,
+    _pad_pow2,
+)
+from parlayann_tpu.build.reverse import prepare_reverse_append, prune_reverse_chunk
 from parlayann_tpu.search.beam import beam_search_batch, top_k_from_beam
 from parlayann_tpu.ops import topk
 from parlayann_tpu.ops.distance import INF
@@ -97,10 +104,27 @@ def build_sharded_vamana(
         def local(nb, dg, pts, bids):
             nb, dg = nb[0], dg[0]
             pts, bids = pts[0], bids[0]
-            nb, dg, _ = _insert_batch(
-                nb, dg, pts, bids, alpha, jnp.zeros((1,), jnp.int32),
-                R=R, L=L, vmax=vmax, metric=metric, n_valid=n_valid,
+            cand_ids, cand_d, _, _ = _beam_phase_impl(
+                nb, dg, pts, bids, jnp.zeros((1,), jnp.int32),
+                R=R, L=L, vmax=vmax, metric=metric, n_valid=n_valid, expand=1,
             )
+            nb, dg, sel_ids, sel_dists = _fwd_phase_impl(
+                nb, dg, pts, bids, cand_ids, cand_d, alpha,
+                R=R, metric=metric, n_valid=n_valid, chunk=2048,
+            )
+            nb, dg, ctx, _ = prepare_reverse_append(
+                nb, dg, bids, sel_ids, sel_dists, R=R, n_valid=n_valid,
+            )
+            # static (masked) chunk schedule over the worst case — shard_map
+            # bodies cannot take the host-adaptive path build_vamana_graph
+            # uses, so every possible overflow row gets a (masked) prune slot
+            M = bids.shape[0] * R
+            chunk = min(M, 4096)
+            for off in range(0, M, chunk):
+                nb, dg = prune_reverse_chunk(
+                    nb, dg, ctx, off, pts, alpha,
+                    R=R, metric=metric, n_valid=n_valid, chunk=chunk,
+                )
             return nb[None], dg[None]
 
         return jax.shard_map(
@@ -192,7 +216,12 @@ def sharded_search(
             )
             ids, dists = top_k_from_beam(res, k)
             shard = jax.lax.axis_index("d").astype(jnp.int32)
-            gids = jnp.where(ids >= 0, ids + shard * nl, -1)
+            # the last shard's zero-pad rows are not valid points: mask them
+            # out BEFORE the cross-shard merge so they cannot eat top-k slots
+            local_n = jnp.clip(idx.n - shard * nl, 0, nl)
+            ok = (ids >= 0) & (ids < local_n)
+            dists = jnp.where(ok, dists, INF)
+            gids = jnp.where(ok, ids + shard * nl, -1)
             # merge across dataset shards: one all-gather over ICI
             all_d = jax.lax.all_gather(dists, "d", axis=0)  # (D, b, k)
             all_i = jax.lax.all_gather(gids, "d", axis=0)

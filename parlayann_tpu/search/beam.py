@@ -68,16 +68,21 @@ def _has_work(beam_dists, beam_exp, k: int, L: int, cut: float, metric: Metric):
 def _merge(beam_ids, beam_dists, beam_exp, cand_ids, cand_dists, L: int):
     """Dedup-union beam with candidates, keep L closest.
 
-    Two batched stable sorts: (id, dist) lexicographic to mask duplicate ids
-    (beam copy wins ties by input order), then (dist, id) to restore beam
-    order — the reference's sort + unique + set_union (beamSearch.h:173-181).
+    Two batched stable sorts: (id, 1-exp) lexicographic to mask duplicate
+    ids — the *expanded* copy wins so that a candidate copy whose distance
+    differs by an ulp (Pallas vs XLA distance path) can never resurrect an
+    already-expanded vertex — then (dist, id) to restore beam order. This
+    is the reference's sort + unique + set_union (beamSearch.h:173-181).
     """
     ids = jnp.concatenate([beam_ids, cand_ids], axis=1)
     dists = jnp.concatenate([beam_dists, cand_dists], axis=1)
     exp = jnp.concatenate(
         [beam_exp, jnp.zeros_like(cand_ids, dtype=jnp.int32)], axis=1
     )
-    sid, sdist, sexp = jax.lax.sort((ids, dists, exp), num_keys=2, is_stable=True)
+    unexp = 1 - jnp.minimum(exp, 1)
+    sid, _, sdist, sexp = jax.lax.sort(
+        (ids, unexp, dists, exp), num_keys=2, is_stable=True
+    )
     dup = jnp.concatenate(
         [jnp.zeros_like(sid[:, :1], dtype=bool), sid[:, 1:] == sid[:, :-1]], axis=1
     )
@@ -133,11 +138,17 @@ def beam_search_batch(
 
     def xla_distances(ids, valid):
         vecs = jnp.take(points_data, jnp.clip(ids, 0, points_data.shape[0] - 1), axis=0)
+        from parlayann_tpu.ops import quantize as _q
+
         if bits == 1:
             # packed 1-bit tier: XOR + popcount hamming (mips_point.h:625-700)
-            from parlayann_tpu.ops import quantize as _q
-
             dd = _q.hamming_distance(queries, vecs)
+        elif bits == 2:
+            # ternary two-bitplane neg-dot (Mips_2Bit_Point, mips_point.h:495-621)
+            dd = _q.mips_2bit_distance(queries, vecs)
+        elif bits == 4:
+            # packed-nibble int4 neg-dot (Mips_4Bit_Point, mips_point.h:706-849)
+            dd = _q.mips_4bit_distance(queries, vecs)
         else:
             dd = distance.gathered(queries, vecs, metric)
         return jnp.where(valid, dd, INF)

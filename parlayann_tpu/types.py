@@ -25,6 +25,20 @@ class Metric(enum.Enum):
     def is_metric(self) -> bool:
         return self is Metric.L2
 
+    @classmethod
+    def coerce(cls, value) -> "Metric":
+        """Accept user-facing spellings: 'l2'/'euclidean'/'Euclidian' and
+        'mips'/'ip' (the reference CLI's -dist_func vocabulary,
+        bench/neighborsTime.C:146-243)."""
+        if isinstance(value, cls):
+            return value
+        s = str(value).strip().lower()
+        if s in ("l2", "euclidean", "euclidian"):
+            return cls.L2
+        if s in ("mips", "ip", "dot", "angular"):
+            return cls.MIPS
+        raise ValueError(f"unknown metric: {value!r}")
+
 
 @dataclasses.dataclass
 class BuildParams:
