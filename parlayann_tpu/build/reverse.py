@@ -131,6 +131,48 @@ def prepare_reverse_append(
     return nbrs, degs, ctx, stats
 
 
+def prune_reverse_all(
+    nbrs: jax.Array,
+    degs: jax.Array,
+    ctx: ReverseCtx,
+    points_data: jax.Array,
+    alpha,
+    *,
+    R: int,
+    metric: Metric,
+    n_valid: int,
+    chunk: int = 4096,
+    cap: int = 0,
+):
+    """α-prune EVERY overflow target, inside one trace: a lax.scan over the
+    static worst-case chunk schedule where chunks past ``n_overflow`` are
+    skipped by a traced ``lax.cond`` (all-or-nothing per chunk, so the
+    skip costs nothing at runtime). No host round-trips — the round-1
+    per-batch readback + dispatch latency through the TPU relay was worth
+    ~0.5 s/batch, dominating the build."""
+    M = ctx.perm.shape[0]
+    chunk = min(chunk, M)
+    n_chunks = -(-M // chunk)
+
+    def one(carry, off):
+        return jax.lax.cond(
+            off < ctx.n_overflow,
+            lambda c, o: (
+                prune_reverse_chunk(
+                    c[0], c[1], ctx, o, points_data, alpha,
+                    R=R, metric=metric, n_valid=n_valid, chunk=chunk, cap=cap,
+                ),
+                None,
+            ),
+            lambda c, o: (c, None),
+            carry, off,
+        )
+
+    offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (nbrs, degs), _ = jax.lax.scan(one, (nbrs, degs), offs)
+    return nbrs, degs
+
+
 def prune_reverse_chunk(
     nbrs: jax.Array,
     degs: jax.Array,

@@ -39,6 +39,7 @@ from parlayann_tpu.build.reverse import (
     exchange_reverse_edges,
     prepare_reverse_append,
     prune_reverse_chunk,
+    prune_reverse_all,
 )
 
 
@@ -108,8 +109,9 @@ def _fwd_phase_impl(
     return nbrs, degs, pr.ids, pr.dists
 
 
-# fused step (production path): all three device phases in one dispatch;
-# overflow targets are α-pruned by host-dispatched prune_reverse_chunk calls
+# fused step (production path): every device phase INCLUDING the overflow
+# α-prune in one dispatch — zero per-batch host syncs (relay latency is the
+# enemy); skipped prune chunks cost nothing via the traced lax.cond
 @partial(
     jax.jit,
     static_argnames=("R", "L", "vmax", "metric", "n_valid", "expand", "chunk"),
@@ -131,7 +133,11 @@ def _insert_batch(
     nbrs, degs, ctx, rstats = prepare_reverse_append(
         nbrs, degs, batch_ids, sel_ids, sel_dists, R=R, n_valid=n_valid,
     )
-    return nbrs, degs, ctx, (tot_vis, tot_cmp, rstats.n_overflow)
+    nbrs, degs = prune_reverse_all(
+        nbrs, degs, ctx, points_data, alpha,
+        R=R, metric=metric, n_valid=n_valid, chunk=4096,
+    )
+    return nbrs, degs, (tot_vis, tot_cmp, rstats.n_overflow)
 
 
 # split steps (profiling path): same impl functions, one dispatch per phase
@@ -211,11 +217,17 @@ def batch_schedule(m: int, n: int, max_fraction: float = 0.02, base: float = 2.0
     return out, max_batch
 
 
-def _pad_pow2(ids: np.ndarray, cap: int) -> np.ndarray:
+def _pad_pow2(ids: np.ndarray, cap: int, min_size: int = 256) -> np.ndarray:
+    """Pad a batch to a power of two, at least ``min_size`` wide (pad slots
+    are -1 = inactive). The floor collapses the prefix-doubling ramp from
+    ~17 distinct compile shapes to ~4 — each shape costs a compile +
+    program load through the TPU relay (~3s), which dominated the build at
+    100K (54s of 70s measured)."""
     b = len(ids)
     size = 1
     while size < b:
         size *= 2
+    size = max(size, min_size)
     size = min(size, cap) if cap >= b else size
     if size < b:
         size = b
@@ -257,6 +269,7 @@ def build_vamana_graph(
     tot_vis = tot_cmp = tot_fb = 0
     t_beam = t_bidirect = t_prune = 0.0
     prune_chunk = 4096
+    stats_acc = []  # device scalars; read back once at the end
     if bp.single_batch:
         # random init edges + one batch per pass, each point searching from
         # itself (index.h:156-169, :239)
@@ -277,6 +290,8 @@ def build_vamana_graph(
             batch_j = jnp.asarray(batch)
             alpha_j = jnp.float32(alpha)
             if profile:
+                # split dispatches with fences: fills the phase split at the
+                # cost of per-phase relay syncs — numbers include latency
                 tb = time.perf_counter()
                 cand_ids, cand_d, v, c = _beam_phase(
                     nbrs, degs, points.data, batch_j, start,
@@ -296,29 +311,26 @@ def build_vamana_graph(
                 nbrs, degs, ctx, rstats = _rev_append_phase(
                     nbrs, degs, batch_j, sel_ids, sel_dists, R=R, n_valid=n,
                 )
-                novf = rstats.n_overflow
-                n_over = int(novf)
+                n_over = int(rstats.n_overflow)
                 t_bidirect += time.perf_counter() - tb
                 tb = time.perf_counter()
+                # α-prune EVERY overflow target (index.h:289-300)
+                for off in range(0, n_over, prune_chunk):
+                    nbrs, degs = _prune_chunk_step(
+                        nbrs, degs, ctx, off, points.data, alpha_j,
+                        R=R, metric=points.metric, n_valid=n, chunk=prune_chunk,
+                    )
+                fence(degs)
+                t_prune += time.perf_counter() - tb
+                stats_acc.append((v, c))
             else:
-                nbrs, degs, ctx, (v, c, novf) = _insert_batch(
+                # production path: ONE dispatch per batch, nothing read back
+                nbrs, degs, st = _insert_batch(
                     nbrs, degs, points.data, batch_j, alpha_j, start,
                     R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
                     expand=2,
                 )
-                n_over = int(novf)  # the one per-batch sync: chunk count
-            # α-prune EVERY overflow target (index.h:289-300) in fixed-shape
-            # chunks; round 1's sort-truncate fallback is gone (n_fallback=0)
-            for off in range(0, n_over, prune_chunk):
-                nbrs, degs = _prune_chunk_step(
-                    nbrs, degs, ctx, off, points.data, alpha_j,
-                    R=R, metric=points.metric, n_valid=n, chunk=prune_chunk,
-                )
-            if profile:
-                fence(degs)
-                t_prune += time.perf_counter() - tb
-            tot_vis += int(v)
-            tot_cmp += int(c)
+                stats_acc.append(st[:2])
             if verbose and bi % 8 == 0:
                 print(f"pass {p}: batch {bi+1}/{len(sched)} ({hi}/{n})", flush=True)
 
@@ -327,6 +339,9 @@ def build_vamana_graph(
     )
     _ = int(jnp.sum(degs))  # readback fence (relay block_until_ready is unreliable)
     dt = time.perf_counter() - t0
+    for v, c in stats_acc:
+        tot_vis += int(v)
+        tot_cmp += int(c)
     graph = GraphIndexData(neighbors=nbrs, degrees=degs, n=n, max_degree=R)
     stats = BuildStats(dt, t_beam, t_bidirect, t_prune, tot_vis, tot_cmp, tot_fb)
     if verbose:

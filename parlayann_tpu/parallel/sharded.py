@@ -31,7 +31,7 @@ from parlayann_tpu.build.vamana import (
     batch_schedule,
     _pad_pow2,
 )
-from parlayann_tpu.build.reverse import prepare_reverse_append, prune_reverse_chunk
+from parlayann_tpu.build.reverse import prepare_reverse_append, prune_reverse_all
 from parlayann_tpu.search.beam import beam_search_batch, top_k_from_beam
 from parlayann_tpu.ops import topk
 from parlayann_tpu.ops.distance import INF
@@ -115,16 +115,10 @@ def build_sharded_vamana(
             nb, dg, ctx, _ = prepare_reverse_append(
                 nb, dg, bids, sel_ids, sel_dists, R=R, n_valid=n_valid,
             )
-            # static (masked) chunk schedule over the worst case — shard_map
-            # bodies cannot take the host-adaptive path build_vamana_graph
-            # uses, so every possible overflow row gets a (masked) prune slot
-            M = bids.shape[0] * R
-            chunk = min(M, 4096)
-            for off in range(0, M, chunk):
-                nb, dg = prune_reverse_chunk(
-                    nb, dg, ctx, off, pts, alpha,
-                    R=R, metric=metric, n_valid=n_valid, chunk=chunk,
-                )
+            nb, dg = prune_reverse_all(
+                nb, dg, ctx, pts, alpha,
+                R=R, metric=metric, n_valid=n_valid, chunk=4096,
+            )
             return nb[None], dg[None]
 
         return jax.shard_map(

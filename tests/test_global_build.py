@@ -1,0 +1,82 @@
+"""Cross-shard GLOBAL build: one graph over all n, rows sharded over the
+mesh (parallel/global_build.py). The driver's dryrun exercises the same
+path; here we check recall parity with the single-device build."""
+
+import numpy as np
+import pytest
+
+from parlayann_tpu.types import BuildParams
+from parlayann_tpu.data.pointset import PointSet
+from parlayann_tpu.build.vamana import build_vamana_graph
+from parlayann_tpu.parallel.global_build import (
+    make_mesh_1d, build_global_vamana, global_search,
+)
+from parlayann_tpu.search import exact
+from parlayann_tpu.index import Index
+from parlayann_tpu.harness.recall import compute_recall
+
+
+def test_global_build_matches_single_device(rng):
+    n, d, k = 1500, 24, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((80, d)).astype(np.float32)
+    ps = PointSet.from_numpy(X)
+    gt, gtd = exact.compute_groundtruth(ps, Q, k)
+    bp = BuildParams(R=16, L=32, alpha=1.2, num_passes=2)
+
+    g, _ = build_vamana_graph(ps, bp)
+    ids1, _, _ = Index(points=ps, graph=g).batch_search(Q, k=k, beam_size=32)
+    r1 = compute_recall(np.asarray(ids1), gt, gtd, k)
+
+    mesh = make_mesh_1d(8)
+    gidx = build_global_vamana(X, mesh, bp)
+    # the graph is ONE graph: neighbor ids are global and rows live on
+    # their owning shard
+    nb = np.asarray(gidx.nbrs).reshape(-1, 16)
+    dg = np.asarray(gidx.degs).reshape(-1)
+    assert dg[:n].mean() > 8  # healthy connectivity
+    valid_edges = nb[np.arange(n)[:, None], np.arange(16)[None, :] < dg[:n, None]]
+    assert (valid_edges >= 0).all() and (valid_edges < n).all()
+    # edges cross shard boundaries (a per-shard-island build would not)
+    nl = gidx.rows_per_shard
+    owner = np.repeat(np.arange(8), nl)[:n]
+    cross = 0
+    for v in range(0, n, 97):
+        for j in range(dg[v]):
+            cross += owner[nb[v, j]] != owner[v]
+    assert cross > 0
+
+    gids, _ = global_search(gidx, Q, k=k, beam_size=32)
+    r2 = compute_recall(gids, gt, gtd, k)
+    assert r2 > r1 - 0.05, (r1, r2)
+
+
+def test_global_search_exact_on_full_graph(rng):
+    """Fully-connected graph -> global search must return exact top-k."""
+    from parlayann_tpu.parallel.global_build import GlobalIndex
+    from parlayann_tpu.types import Metric
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh_1d(8)
+    n, d, k = 32, 8, 5
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((16, d)).astype(np.float32)
+    D, nl = 8, 4
+    nbrs = np.arange(n, dtype=np.int32)[None, :].repeat(n, 0)
+    degs = np.full(n, n, np.int32)
+
+    def sh(a):
+        a = np.asarray(a)
+        return jax.device_put(
+            a.reshape((D, nl) + a.shape[1:]),
+            NamedSharding(mesh, P(*(("d",) + (None,) * a.ndim))),
+        )
+
+    gidx = GlobalIndex(
+        mesh=mesh, points=sh(X), nbrs=sh(nbrs), degs=sh(degs), n=n,
+        rows_per_shard=nl, max_degree=n, metric=Metric.L2,
+    )
+    ids, dists = global_search(gidx, Q, k=k, beam_size=16)
+    gt = np.argsort(((Q[:, None, :] - X[None]) ** 2).sum(-1), axis=1)[:, :k]
+    np.testing.assert_array_equal(ids, gt)
