@@ -135,9 +135,9 @@ class Index:
         degree_limit: Optional[int] = None,
         expand: int = 1,
         rerank_factor: int = 10,
-        two_phase: bool = False,
+        two_phase: bool = True,
     ):
-        """Search all query rows -> (ids (B,k), dists (B,k), BeamResult).
+        """Search all query rows -> (ids (B,k), dists (B,k), result).
 
         Mirrors GraphIndex::batch_search (graph_index.cpp:192-216):
         QueryParams(k, Q, cut, visit_limit, degree_limit); runs quantized +
@@ -145,9 +145,10 @@ class Index:
         search_dispatch, graph_index.cpp:120-190). ``rerank_factor``: the
         rerank pool is min(k*rerank_factor, beam).
 
-        ``two_phase``: straggler compaction — the lock-step batch pays for
-        its slowest query, so phase 1 caps expansions at 2.5*L, then only
-        the unconverged tail (typically <25%) resumes in a compacted batch.
+        The full/q8 tier path runs as ONE fused jitted dispatch
+        (search/fused.py): translate -> beam -> in-jit straggler compaction
+        (``two_phase``, on by default for large batches) -> rerank. Each
+        extra dispatch costs ~60 ms through the TPU relay.
         """
         qp = QueryParams(
             k=k, beamSize=beam_size, cut=cut, limit=limit, degree_limit=degree_limit
@@ -176,13 +177,32 @@ class Index:
             q = quantize.mips_4bit_translate_query(q_full, ps)
             bits, search_k = 4, k
         else:
+            # full / q8 tier: the fused single-dispatch path
+            from parlayann_tpu.search.fused import fused_search
+
             ps = self.qpoints if self.qpoints is not None else self.points
-            # quantized query levels kept in f32: identical distance values,
-            # and the Pallas kernel needs a f32-loadable query block (Mosaic
-            # cannot dynamically row-load int8 VMEM)
-            q = quantize.translate_query(q_full, ps).astype(jnp.float32)
             inline = self.build_inline_cache() if self.use_inline else None
-            bits, search_k = 32, k
+            L = max(qp.beamSize, k)
+            B = q_full.shape[0]
+            use_tp = two_phase and B >= 2048 and qp.limit > 2 * L
+            cw = 256
+            while cw < B // 4:
+                cw *= 2
+            res = fused_search(
+                q_full.astype(jnp.float32), ps.data, self.points.data,
+                self.graph.neighbors, self.graph.degrees,
+                jnp.asarray([self.start_point], dtype=jnp.int32),
+                inline, ps.quant_slope, ps.quant_offset,
+                metric=ps.metric, n_valid=ps.n, k=k, L=L, cut=qp.cut,
+                limit=qp.limit, degree_limit=qp.degree_limit, expand=expand,
+                use_inline=self.use_inline and inline is not None,
+                tier_bits=ps.bits,
+                t1=2 * L if use_tp else 0,
+                compact_w=min(cw, B) if use_tp else 0,
+                rerank_pool=min(max(k * rerank_factor, k), L),
+                do_rerank=ps is not self.points,
+            )
+            return res.ids, res.dists, res
         L = max(qp.beamSize, k)
         B = q.shape[0]
         common = dict(
@@ -191,45 +211,10 @@ class Index:
             use_inline=self.use_inline and inline is not None, bits=bits,
         )
         start = jnp.asarray([self.start_point], dtype=jnp.int32)
-        t1 = (5 * L) // 2
-        if two_phase and B >= 2048 and qp.limit > 2 * t1:
-            res = beam_search_batch(
-                q, ps.data, self.graph.neighbors, self.graph.degrees,
-                start, None, inline, limit=t1, **common,
-            )
-            undone = np.flatnonzero(~np.asarray(res.done))
-            if len(undone):
-                bucket = 256
-                while bucket < len(undone):
-                    bucket *= 2
-                bucket = min(bucket, B)
-                idx_u = np.full(bucket, undone[0], dtype=np.int32)
-                idx_u[: len(undone)] = undone[:bucket]
-                iu = jnp.asarray(idx_u)
-                state = tuple(
-                    jnp.take(a, iu, axis=0)
-                    for a in (res.beam_ids, res.beam_dists, res.beam_exp,
-                              res.num_visited, res.dist_cmps)
-                )
-                # restore sentinel ids for empty slots (-1 was applied)
-                state = (
-                    jnp.where(state[1] < INF, state[0],
-                              ps.n + jnp.arange(L, dtype=jnp.int32)[None, :]),
-                ) + state[1:]
-                res2 = beam_search_batch(
-                    jnp.take(q, iu, axis=0), ps.data, self.graph.neighbors,
-                    self.graph.degrees, start, None, inline,
-                    limit=qp.limit, init_state=state, **common,
-                )
-                merged = []
-                for a, b in zip(res, res2):
-                    merged.append(a.at[iu].set(b))
-                res = type(res)(*merged)
-        else:
-            res = beam_search_batch(
-                q, ps.data, self.graph.neighbors, self.graph.degrees,
-                start, None, inline, limit=qp.limit, **common,
-            )
+        res = beam_search_batch(
+            q, ps.data, self.graph.neighbors, self.graph.degrees,
+            start, None, inline, limit=qp.limit, **common,
+        )
         if ps is not self.points:
             pool = min(max(k * rerank_factor, k), L)
             ids, dists = rerank_topk(

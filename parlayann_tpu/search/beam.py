@@ -79,15 +79,19 @@ def _merge(beam_ids, beam_dists, beam_exp, cand_ids, cand_dists, L: int):
     exp = jnp.concatenate(
         [beam_exp, jnp.zeros_like(cand_ids, dtype=jnp.int32)], axis=1
     )
-    unexp = 1 - jnp.minimum(exp, 1)
-    sid, _, sdist, sexp = jax.lax.sort(
-        (ids, unexp, dists, exp), num_keys=2, is_stable=True
-    )
+    # pack (id, unexpanded-bit) into one int32 key: halves the sort operand
+    # count (sorts are ~25% of the search step) and makes the expanded copy
+    # sort first among equal ids for free
+    packed = ids * 2 + (1 - jnp.minimum(exp, 1))
+    spacked, sdist = jax.lax.sort((packed, dists), num_keys=1, is_stable=True)
+    sid = jax.lax.shift_right_logical(spacked, 1)
     dup = jnp.concatenate(
         [jnp.zeros_like(sid[:, :1], dtype=bool), sid[:, 1:] == sid[:, :-1]], axis=1
     )
     sdist = jnp.where(dup, INF, sdist)
-    ndist, nid, nexp = jax.lax.sort((sdist, sid, sexp), num_keys=2, is_stable=True)
+    ndist, npacked = jax.lax.sort((sdist, spacked), num_keys=2, is_stable=True)
+    nid = jax.lax.shift_right_logical(npacked, 1)
+    nexp = 1 - (npacked & 1)
     return nid[:, :L], ndist[:, :L], nexp[:, :L]
 
 
