@@ -69,7 +69,10 @@ def main():
         build_ps = quantize.quantize_pointset(ps, bits=8)
     bp = BuildParams(R=32, L=64, alpha=1.2, num_passes=2)
     t0 = time.perf_counter()
-    profile_build = os.environ.get("BENCH_PROFILE", "1") == "1"
+    # BENCH_PROFILE=1 opts into the split-dispatch phase timers; measured
+    # cost through the relay is ~0.5s/batch of pure fence latency (154s vs
+    # ~20s fused on 100K), so the headline build time uses the fused path
+    profile_build = os.environ.get("BENCH_PROFILE", "0") == "1"
     graph, stats = build_vamana_graph(build_ps, bp, verbose=False, profile=profile_build)
     build_time = time.perf_counter() - t0
     avg_deg, max_deg = graph.stats()
@@ -77,6 +80,25 @@ def main():
         f"deg {avg_deg:.2f}/{max_deg}, fallback {stats.n_fallback}, "
         f"phases beam={stats.beam_time:.2f}s bidirect={stats.bidirect_time:.2f}s "
         f"prune={stats.prune_time:.2f}s")
+
+    phase_note = "totals (fenced split dispatches)"
+    if not profile_build:
+        # cheap steady-state phase split: re-run ONE max-width batch insert
+        # against the final graph as three fenced dispatches (best-of-2).
+        # Totals would cost ~0.5s/batch of relay fence latency; this is
+        # 6 dispatches and labeled as a per-batch steady-state estimate.
+        try:
+            from parlayann_tpu.build.vamana import profile_one_batch
+
+            ph = profile_one_batch(build_ps, bp, graph, repeats=2)
+            stats = stats._replace(
+                beam_time=ph[0], bidirect_time=ph[1], prune_time=ph[2]
+            )
+            phase_note = "seconds per steady-state batch (estimate)"
+            log(f"steady-batch phases: beam={ph[0]:.3f}s bidirect={ph[1]:.3f}s "
+                f"prune={ph[2]:.3f}s")
+        except Exception as e:
+            log("phase estimate failed:", e)
 
     idx = Index(points=ps, graph=graph).enable_quantized(bits=8)
     best_qps, best_rec, best_beam = 0.0, 0.0, 0
@@ -119,9 +141,10 @@ def main():
             "build_time_s": round(build_time, 2),
             "build_vs_baseline_s": 0.81,
             "build_phases_s": {
-                "beam": round(stats.beam_time, 2),
-                "bidirect": round(stats.bidirect_time, 2),
-                "prune": round(stats.prune_time, 2),
+                "beam": round(stats.beam_time, 3),
+                "bidirect": round(stats.bidirect_time, 3),
+                "prune": round(stats.prune_time, 3),
+                "note": phase_note,
             },
             "avg_degree": round(avg_deg, 2),
             "sweep": [(b, round(r, 4), round(q, 1)) for b, r, q in results],

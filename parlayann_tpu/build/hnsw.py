@@ -16,13 +16,21 @@ kernel and the batched robustPrune. The reference's alpha compare is
 ``d(c, r) < alpha * d(c, q)`` (HNSW.hpp:462-471, alpha <= 1); robustPrune
 implements ``a * d <= d'`` so we pass ``a = 1/alpha``. Levels are assigned
 up-front (the whole dataset is known), insertion still runs in
-prefix-doubling batches (HNSW.hpp:777-800); the entrance is the
-highest-level point inserted so far (single entrance vs the reference's
-entrance list).
+prefix-doubling batches (HNSW.hpp:777-800); the entrance is a LIST of
+points at the current max level (HNSW.hpp:130, update rule :991-1007:
+replace on a strictly-higher level, append on a tie) and every descent
+seeds from all of them.
 
-Model persistence: a versioned binary ("HTPU" magic, version 1) holding
-params + per-level member lists and adjacency. (The reference's "HNSW" v3
-byte layout, HNSW.hpp:1615-1691, is not reproduced byte-for-byte.)
+Model persistence: two formats, auto-detected by magic on load —
+  * "HTPU" v2 (ours): params + per-level member lists and fixed-width
+    adjacency; loads with zero per-node parsing.
+  * "HNSW" v3 (reference-compatible): the byte layout of HNSW.hpp's
+    save (:1615-1691) / load (:631-744) — magic, version, two ignored
+    size_t type codes, params (dim, m_l, m, efc, alpha, n), an (level,
+    point-id) node table, per-node per-level varint-free adjacency
+    records (u64 count + u32 node ids), and the entrance list. Models
+    are exchangeable with the reference implementation in both
+    directions.
 """
 
 from __future__ import annotations
@@ -60,7 +68,7 @@ class Level:
 class HNSWIndex:
     points: PointSet
     levels: list  # Level, index = level number (0 = base)
-    entrance: int  # global id
+    entrances: np.ndarray  # (S,) int32 global ids, all at max_level
     m: int
     efc: int
     alpha: float
@@ -70,27 +78,35 @@ class HNSWIndex:
     def max_level(self) -> int:
         return len(self.levels) - 1
 
+    @property
+    def entrance(self) -> int:
+        return int(self.entrances[0])
+
     # ---------------- search (HNSW.hpp:1570-1613) ----------------
     def batch_search(self, queries, k: int = 10, ef: int = 64,
                      cut: float = 1.35, expand: int = 1):
         q = jnp.asarray(np.asarray(queries))
         B = q.shape[0]
-        entry = np.full(B, self.entrance, dtype=np.int32)
-        # greedy descent ef=1 through upper levels (search_layer_to)
+        # greedy descent ef=1 through upper levels (search_layer_to,
+        # HNSW.hpp:1532-1567) seeded from the FULL entrance list
+        entry = np.broadcast_to(
+            self.entrances.astype(np.int32), (B, len(self.entrances))
+        )
         for l in range(self.max_level, 0, -1):
             lv = self.levels[l]
-            starts = jnp.asarray(lv.glob2loc[entry])[:, None]
+            starts = jnp.asarray(lv.glob2loc[entry])
             res = beam_search_batch(
                 q, lv.points_l, lv.nbrs, lv.degs, starts,
                 metric=self.points.metric, n_valid=len(lv.members),
                 k=0, L=1,
             )
             loc = np.asarray(res.beam_ids[:, 0])
-            entry = np.where(loc >= 0, lv.members[np.clip(loc, 0, None)], entry)
+            entry = np.where(loc >= 0, lv.members[np.clip(loc, 0, None)],
+                             entry[:, 0])[:, None]
         lv0 = self.levels[0]
         res = beam_search_batch(
             q, lv0.points_l, lv0.nbrs, lv0.degs,
-            jnp.asarray(lv0.glob2loc[entry])[:, None],
+            jnp.asarray(lv0.glob2loc[entry]),
             metric=self.points.metric, n_valid=self.points.n,
             k=k, L=max(ef, k), cut=cut, expand=expand,
         )
@@ -106,13 +122,22 @@ class HNSWIndex:
         )
 
     # ---------------- persistence ----------------
+    def level_of(self) -> np.ndarray:
+        """(n,) max level of every point."""
+        out = np.zeros(self.points.n, dtype=np.int32)
+        for l in range(1, len(self.levels)):
+            out[self.levels[l].members] = l
+        return out
+
     def save(self, path: str) -> None:
-        lv_meta = []
+        """Fast fixed-width format ("HTPU" v2: entrance list)."""
         with open(path, "wb") as f:
             f.write(b"HTPU")
-            f.write(struct.pack("<iiiffi", 1, self.points.n, self.m,
-                                self.alpha, self.m_l, self.entrance))
-            f.write(struct.pack("<ii", self.efc, len(self.levels)))
+            f.write(struct.pack("<iiiff", 2, self.points.n, self.m,
+                                self.alpha, self.m_l))
+            f.write(struct.pack("<iii", self.efc, len(self.levels),
+                                len(self.entrances)))
+            self.entrances.astype(np.int32).tofile(f)
             for l, lv in enumerate(self.levels):
                 nb = np.asarray(lv.nbrs)[: len(lv.members)]
                 dg = np.asarray(lv.degs)[: len(lv.members)]
@@ -123,10 +148,23 @@ class HNSWIndex:
 
     @staticmethod
     def load(path: str, points: PointSet) -> "HNSWIndex":
+        """Auto-detects "HTPU" (v1/v2) vs the reference "HNSW" v3 magic."""
         with open(path, "rb") as f:
-            assert f.read(4) == b"HTPU", "bad HNSW model file"
-            ver, n, m, alpha, m_l, entrance = struct.unpack("<iiiffi", f.read(24))
-            efc, n_levels = struct.unpack("<ii", f.read(8))
+            magic = f.read(4)
+        if magic == b"HNSW":
+            return HNSWIndex.load_v3(path, points)
+        assert magic == b"HTPU", "bad HNSW model file"
+        with open(path, "rb") as f:
+            f.read(4)
+            ver = struct.unpack("<i", f.read(4))[0]
+            if ver == 1:
+                n, m, alpha, m_l, ent0 = struct.unpack("<iiffi", f.read(20))
+                efc, n_levels = struct.unpack("<ii", f.read(8))
+                entrances = np.asarray([ent0], dtype=np.int32)
+            else:
+                n, m, alpha, m_l = struct.unpack("<iiff", f.read(16))
+                efc, n_levels, n_ent = struct.unpack("<iii", f.read(12))
+                entrances = np.fromfile(f, np.int32, n_ent)
             levels = []
             for l in range(n_levels):
                 ml, cap, _ = struct.unpack("<iii", f.read(12))
@@ -136,8 +174,118 @@ class HNSWIndex:
                 levels.append(
                     _make_level(points, members, cap, nbrs=nb, degs=dg)
                 )
-        return HNSWIndex(points=points, levels=levels, entrance=entrance,
+        return HNSWIndex(points=points, levels=levels, entrances=entrances,
                          m=m, efc=efc, alpha=alpha, m_l=m_l)
+
+    def save_v3(self, path: str) -> None:
+        """Write the reference's versioned binary model (magic "HNSW",
+        version 3 — byte layout of HNSW.hpp:1615-1691) so models built here
+        load in the reference implementation. Node ids are point ids (the
+        reference permits any node order; the (level, id) table carries the
+        mapping). Neighbor lists are global point ids mapped back from our
+        per-level local ids."""
+        n = self.points.n
+        lev = self.level_of()
+        degs_l, glob_l = [], []
+        for lv in self.levels:
+            ml = len(lv.members)
+            degs_l.append(np.asarray(lv.degs)[:ml].astype(np.int64))
+            nb = np.asarray(lv.nbrs)[:ml]
+            glob_l.append(lv.members[np.clip(nb, 0, ml - 1)].astype(np.uint32))
+
+        # per-node record block: for l in 0..lev[u]: u64 count + u32 ids
+        node_len = np.zeros(n, dtype=np.int64)  # record bytes per node
+        for l, lv in enumerate(self.levels):
+            node_len[lv.members] += 8 + 4 * degs_l[l]
+        node_off = np.concatenate([[0], np.cumsum(node_len)])
+        buf = np.zeros(int(node_off[-1]), dtype=np.uint8)
+        within = np.zeros(n, dtype=np.int64)  # offset of level l's record
+        for l, lv in enumerate(self.levels):
+            mem = lv.members
+            start = node_off[mem] + within[mem]
+            # u64 size field
+            szb = degs_l[l].astype("<u8").view(np.uint8).reshape(-1, 8)
+            fidx = (start[:, None] + np.arange(8)).ravel()
+            buf[fidx] = szb.ravel()
+            # u32 ids (jagged): flatten valid slots
+            d = degs_l[l]
+            rows = np.repeat(np.arange(len(mem)), d)
+            cols = np.concatenate([np.arange(x) for x in d]) if len(d) else \
+                np.zeros(0, np.int64)
+            ids = glob_l[l][rows, cols].astype("<u4")
+            tgt = np.repeat(start + 8, d) + 4 * cols
+            bidx = (tgt[:, None] + np.arange(4)).ravel()
+            buf[bidx] = ids.view(np.uint8).reshape(-1, 4).ravel()
+            within[mem] += 8 + 4 * d
+
+        with open(path, "wb") as f:
+            f.write(b"HNSW")
+            f.write(struct.pack("<I", 3))
+            f.write(struct.pack("<QQ", 0, 0))  # code_U, sizeof(node): the
+            # reference loader reads and ignores both (HNSW.hpp:684-688)
+            f.write(struct.pack("<IfIIfI", self.points.d, self.m_l, self.m,
+                                self.efc, self.alpha, n))
+            table = np.empty((n, 2), dtype="<u4")
+            table[:, 0] = lev.astype(np.uint32)
+            table[:, 1] = np.arange(n, dtype=np.uint32)  # point id == node id
+            table.tofile(f)
+            buf.tofile(f)
+            f.write(struct.pack("<Q", len(self.entrances)))
+            self.entrances.astype("<u4").tofile(f)
+
+    @staticmethod
+    def load_v3(path: str, points: PointSet) -> "HNSWIndex":
+        """Read a reference "HNSW" v3 model (HNSW.hpp:631-744), including
+        ones written by the reference implementation (arbitrary node order,
+        neighbor lists in node ids)."""
+        with open(path, "rb") as f:
+            raw = f.read()
+        assert raw[:4] == b"HNSW", "bad v3 model"
+        (version,) = struct.unpack_from("<I", raw, 4)
+        assert version == 3, f"unsupported HNSW model version {version}"
+        off = 8 + 16  # skip code_U + sizeof(node)
+        dim, m_l, m, efc, alpha, n = struct.unpack_from("<IfIIfI", raw, off)
+        off += 24
+        table = np.frombuffer(raw, dtype="<u4", count=2 * n, offset=off)
+        off += 8 * n
+        node_lev = table[0::2].astype(np.int32)
+        node_pid = table[1::2].astype(np.int32)  # node id -> point id
+        max_level = int(node_lev.max()) if n else 0
+
+        # walk the jagged per-node records
+        nbrs_nodeids = [[] for _ in range(max_level + 1)]  # per level: (node, ids)
+        mv = memoryview(raw)
+        for u in range(n):
+            for l in range(int(node_lev[u]) + 1):
+                (cnt,) = struct.unpack_from("<Q", mv, off)
+                off += 8
+                ids = np.frombuffer(raw, dtype="<u4", count=cnt, offset=off)
+                off += 4 * int(cnt)
+                nbrs_nodeids[l].append((u, ids))
+        (n_ent,) = struct.unpack_from("<Q", mv, off)
+        off += 8
+        ent_nodes = np.frombuffer(raw, dtype="<u4", count=n_ent, offset=off)
+        entrances = node_pid[ent_nodes.astype(np.int64)].astype(np.int32)
+
+        levels = []
+        for l in range(max_level + 1):
+            members = np.sort(node_pid[node_lev >= l]).astype(np.int32)
+            g2l = np.full(points.n, -1, dtype=np.int32)
+            g2l[members] = np.arange(len(members), dtype=np.int32)
+            cap_ref = 2 * m if l == 0 else m
+            cap = max(cap_ref,
+                      max((len(i) for _, i in nbrs_nodeids[l]), default=0))
+            nb = np.full((len(members), cap), -1, dtype=np.int32)
+            dg = np.zeros(len(members), dtype=np.int32)
+            for u, ids in nbrs_nodeids[l]:
+                loc = g2l[node_pid[u]]
+                pid_nbrs = node_pid[ids.astype(np.int64)]
+                nb[loc, : len(ids)] = g2l[pid_nbrs]
+                dg[loc] = len(ids)
+            levels.append(_make_level(points, members, cap, nbrs=nb, degs=dg))
+        return HNSWIndex(points=points, levels=levels, entrances=entrances,
+                         m=int(m), efc=int(efc), alpha=float(alpha),
+                         m_l=float(m_l))
 
 
 def _make_level(points: PointSet, members: np.ndarray, cap: int,
@@ -172,15 +320,20 @@ def assign_levels(n: int, m_l: float, rng: np.random.Generator) -> np.ndarray:
 def _insert_at_level(lv: Level, points: PointSet, batch_glob: np.ndarray,
                      entry_glob: np.ndarray, efc: int, a_vamana: float,
                      m_fwd: int, alpha_arr, bucket: int):
-    """Batch-insert ``batch_glob`` into one level from per-point entries.
-    Returns the closest-found global id per point (entry for next level)."""
+    """Batch-insert ``batch_glob`` into one level from per-point entries
+    (``entry_glob``: (B,) or (B, S) — S-wide on the first level, seeded
+    from the full entrance list). Returns the closest-found global id per
+    point (entry for the next level)."""
     B0 = len(batch_glob)
     pad = bucket - B0
     bg = np.pad(batch_glob, (0, pad), constant_values=-1)
-    eg = np.pad(entry_glob, (0, pad), constant_values=0)
+    eg = np.atleast_2d(np.asarray(entry_glob))
+    if eg.shape[0] != B0:
+        eg = eg.T
+    eg = np.pad(eg, ((0, pad), (0, 0)), constant_values=0)
     loc = lv.glob2loc[np.clip(bg, 0, None)]
     loc = np.where(bg >= 0, loc, -1).astype(np.int32)
-    starts = jnp.asarray(lv.glob2loc[eg])[:, None]
+    starts = jnp.asarray(lv.glob2loc[eg])
     q = jnp.take(points.data, jnp.asarray(np.clip(bg, 0, None)), axis=0)
 
     res = beam_search_batch(
@@ -213,26 +366,30 @@ def _insert_at_level(lv: Level, points: PointSet, batch_glob: np.ndarray,
     lv.nbrs, lv.degs = nbrs, degs
     closest = np.asarray(res.beam_ids[:, 0])[:B0]
     out = np.where(closest >= 0, lv.members[np.clip(closest, 0, None)],
-                   entry_glob)
+                   eg[:B0, 0])
     return out
 
 
 def _descend(lv: Level, points: PointSet, batch_glob: np.ndarray,
              entry_glob: np.ndarray, bucket: int):
-    """Greedy ef=1 step through one level (HNSW.hpp:1532-1567)."""
+    """Greedy ef=1 step through one level (HNSW.hpp:1532-1567).
+    ``entry_glob``: (B,) or (B, S) global entry ids."""
     B0 = len(batch_glob)
     pad = bucket - B0
     bg = np.pad(batch_glob, (0, pad), constant_values=0)
-    eg = np.pad(entry_glob, (0, pad), constant_values=0)
+    eg = np.atleast_2d(np.asarray(entry_glob))
+    if eg.shape[0] != B0:
+        eg = eg.T
+    eg = np.pad(eg, ((0, pad), (0, 0)), constant_values=0)
     q = jnp.take(points.data, jnp.asarray(bg), axis=0)
     res = beam_search_batch(
         q, lv.points_l, lv.nbrs, lv.degs,
-        jnp.asarray(lv.glob2loc[eg])[:, None],
+        jnp.asarray(lv.glob2loc[eg]),
         metric=points.metric, n_valid=len(lv.members), k=0, L=1,
     )
     loc = np.asarray(res.beam_ids[:, 0])[:B0]
     return np.where(loc >= 0, lv.members[np.clip(loc, 0, None)],
-                    entry_glob[:B0])
+                    eg[:B0, 0])
 
 
 def build_hnsw_graph(points: PointSet, bp: BuildParams,
@@ -258,8 +415,8 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
     assert np.array_equal(levels[0].members, np.arange(n, dtype=np.int32))
 
     order = rng.permutation(n).astype(np.int32)
-    entrance = int(order[0])
-    ent_level = int(levels_of[entrance])
+    entrances = [int(order[0])]  # entrance list (HNSW.hpp:130)
+    ent_level = int(levels_of[entrances[0]])
 
     max_batch = min(max(int(0.02 * n), 1), 1_000_000)
     # prefix-doubling boundaries (HNSW.hpp:777-800)
@@ -276,19 +433,23 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
     for bi, (lo, hi) in enumerate(bounds):
         batch = order[lo:hi]
         blev = levels_of[batch]
-        entry = np.full(len(batch), entrance, dtype=np.int32)
+        # every descent seeds from the FULL entrance list (HNSW.hpp:869-881);
+        # after the first level touched, entry collapses to the single best
+        entry = np.broadcast_to(
+            np.asarray(entrances, dtype=np.int32), (len(batch), len(entrances))
+        ).copy()
         # start at the batch's own max level, not just the entrance level —
         # points above the current entrance insert on ALL their levels
         # (HNSW.hpp:991-1007), not only after later reverse edges wire them
         for l in range(max(ent_level, int(blev.max())), -1, -1):
             ins_mask = blev >= l
-            # only descend through levels the entrance actually reaches
+            # only descend through levels the entrances actually reach
             desc_mask = ~ins_mask & (l <= ent_level)
             if desc_mask.any() and l > 0:
                 sub = np.flatnonzero(desc_mask)
                 entry[sub] = _descend(
                     levels[l], points, batch[sub], entry[sub], max_batch
-                )
+                )[:, None]
             if ins_mask.any():
                 sub = np.flatnonzero(ins_mask)
                 bucket = max_batch if l == 0 else upper_bucket
@@ -297,16 +458,21 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
                     entry[cs] = _insert_at_level(
                         levels[l], points, batch[cs], entry[cs], efc,
                         1.0 / alpha, m, a_vam, bucket,
-                    )
-        # entrance update (HNSW.hpp:991-1007)
+                    )[:, None]
+        # entrance update (HNSW.hpp:991-1007): replace on a strictly higher
+        # level, append the batch's highest node on a tie
         top = int(blev.max())
+        highest = int(batch[int(np.argmax(blev))])
         if top > ent_level:
-            entrance = int(batch[int(np.argmax(blev))])
+            entrances = [highest]
             ent_level = top
+        elif top == ent_level and highest not in entrances:
+            entrances.append(highest)
         if verbose and bi % 8 == 0:
             print(f"hnsw: batch {bi+1}/{len(bounds)}", flush=True)
 
-    idx = HNSWIndex(points=points, levels=levels, entrance=entrance,
+    idx = HNSWIndex(points=points, levels=levels,
+                    entrances=np.asarray(entrances, dtype=np.int32),
                     m=m, efc=efc, alpha=alpha, m_l=m_l)
     _ = int(jnp.sum(levels[0].degs))  # readback fence
     return idx, time.perf_counter() - t0

@@ -161,6 +161,11 @@ _prune_chunk_step = partial(
     static_argnames=("R", "metric", "n_valid", "chunk"),
     donate_argnums=(0, 1),
 )(lambda *a, **k: prune_reverse_chunk(*a, **k))
+_prune_all_phase = partial(
+    jax.jit,
+    static_argnames=("R", "metric", "n_valid", "chunk"),
+    donate_argnums=(0, 1),
+)(lambda *a, **k: prune_reverse_all(*a, **k))
 
 
 @partial(
@@ -349,6 +354,71 @@ def build_vamana_graph(
         print(f"Vamana build: {dt:.2f}s  avg/max degree {avg:.2f}/{mx}  "
               f"visited {tot_vis}  cmps {tot_cmp}  fallback {tot_fb}")
     return graph, stats
+
+
+def profile_one_batch(
+    points: PointSet,
+    bp: BuildParams,
+    graph: GraphIndexData,
+    repeats: int = 2,
+) -> tuple[float, float, float]:
+    """Measure the t_beam/t_bidirect/t_prune split (index.h:217-222) of ONE
+    max-width steady-state batch insert against ``graph``'s final state, as
+    three fenced dispatches, best-of-``repeats``. Totals via fenced split
+    dispatches cost ~0.5s/batch of relay latency; this is a 2*3-dispatch
+    estimate of the per-batch steady-state split. Leaves ``graph``
+    untouched (operates on copies)."""
+    n, R, L = points.n, bp.R, bp.L
+    vmax = max((3 * L) // 2, R + 16)
+    _, max_batch = batch_schedule(n, n, bp.batch_cap_frac)
+    size = 1
+    while size < max_batch:
+        size *= 2
+    rng = np.random.default_rng(123)
+    batch_j = jnp.asarray(
+        _pad_pow2(rng.permutation(n)[:max_batch].astype(np.int32), size)
+    )
+    start = jnp.zeros((1,), dtype=jnp.int32)
+    alpha_j = jnp.float32(bp.alpha)
+
+    def fence(x):
+        _ = np.asarray(x)[:1] if getattr(x, "ndim", 0) else np.asarray(x)
+
+    best = [float("inf")] * 3
+    for _ in range(repeats + 1):  # first rep warms the compile cache
+        nbrs = jnp.array(graph.neighbors)  # fresh copies (donated args)
+        degs = jnp.array(graph.degrees)
+        fence(degs)
+        t0 = time.perf_counter()
+        cand_ids, cand_d, v, c = _beam_phase(
+            nbrs, degs, points.data, batch_j, start,
+            R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n, expand=2,
+        )
+        fence(cand_d)
+        t1 = time.perf_counter()
+        nbrs, degs, sel_ids, sel_dists = _fwd_phase(
+            nbrs, degs, points.data, batch_j, cand_ids, cand_d,
+            alpha_j, R=R, metric=points.metric, n_valid=n, chunk=2048,
+        )
+        fence(degs)
+        t2 = time.perf_counter()
+        nbrs, degs, ctx, rstats = _rev_append_phase(
+            nbrs, degs, batch_j, sel_ids, sel_dists, R=R, n_valid=n,
+        )
+        fence(degs)
+        t3 = time.perf_counter()
+        nbrs, degs = _prune_all_phase(
+            nbrs, degs, ctx, points.data, alpha_j,
+            R=R, metric=points.metric, n_valid=n, chunk=4096,
+        )
+        fence(degs)
+        t4 = time.perf_counter()
+        best = [
+            min(best[0], t1 - t0),
+            min(best[1], t3 - t2),
+            min(best[2], (t2 - t1) + (t4 - t3)),
+        ]
+    return tuple(best)
 
 
 def build_vamana_index(
