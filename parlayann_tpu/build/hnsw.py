@@ -52,6 +52,7 @@ from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.search.beam import beam_search_batch, top_k_from_beam
 from parlayann_tpu.build.prune import robust_prune_chunked
 from parlayann_tpu.build.reverse import exchange_reverse_edges
+from parlayann_tpu.utils.arrays import as_device
 
 
 @dataclasses.dataclass
@@ -85,7 +86,7 @@ class HNSWIndex:
     # ---------------- search (HNSW.hpp:1570-1613) ----------------
     def batch_search(self, queries, k: int = 10, ef: int = 64,
                      cut: float = 1.35, expand: int = 1):
-        q = jnp.asarray(np.asarray(queries))
+        q = as_device(queries)
         B = q.shape[0]
         # greedy descent ef=1 through upper levels (search_layer_to,
         # HNSW.hpp:1532-1567) seeded from the FULL entrance list

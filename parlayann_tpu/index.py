@@ -28,6 +28,7 @@ from parlayann_tpu.ops import quantize
 from parlayann_tpu.search.beam import beam_search_batch, top_k_from_beam
 from parlayann_tpu.search.rerank import rerank_topk
 from parlayann_tpu.ops.distance import INF
+from parlayann_tpu.utils.arrays import as_device
 
 
 @dataclasses.dataclass
@@ -136,6 +137,7 @@ class Index:
         expand: int = 1,
         rerank_factor: int = 10,
         two_phase: bool = True,
+        expand_group: int = 1,
     ):
         """Search all query rows -> (ids (B,k), dists (B,k), result).
 
@@ -153,7 +155,8 @@ class Index:
         qp = QueryParams(
             k=k, beamSize=beam_size, cut=cut, limit=limit, degree_limit=degree_limit
         ).resolved(self.graph.max_degree, self.points.n)
-        q_full = jnp.asarray(np.asarray(queries))
+        # never round-trip device-resident queries (as_device docstring)
+        q_full = as_device(queries)
         # tier priority: 1-bit > JL > 2-bit > 4-bit > scalar-q > full.
         # Coarse tiers (bit/JL-bit/2-bit) have huge tie classes, so the
         # metric cut rule is unusable: search with k=0 (pure beam) and let
@@ -201,6 +204,7 @@ class Index:
                 compact_w=min(cw, B) if use_tp else 0,
                 rerank_pool=min(max(k * rerank_factor, k), L),
                 do_rerank=ps is not self.points,
+                expand_group=expand_group,
             )
             return res.ids, res.dists, res
         L = max(qp.beamSize, k)
@@ -229,7 +233,7 @@ class Index:
         """Timed steady-state search (compile + host->device query upload
         excluded, matching the reference's query-only timer,
         check_nn_recall.h:41-50) -> (ids, dists, res, seconds)."""
-        queries = jnp.asarray(np.asarray(queries))
+        queries = as_device(queries)
         queries.block_until_ready()
         if warmup:
             out = self.batch_search(queries, **kw)

@@ -51,47 +51,64 @@ def build_inline(points_data: jax.Array, nbrs: jax.Array, dtype=None) -> jax.Arr
 
 
 def _expand_kernel(ids_ref, q_ref, inline_hbm, out_ref, vmem, sems, *, R, d,
-                   n_buf, block_b, metric):
-    """Grid: (B // block_b,). For each query in the block, DMA its row of
-    inline neighbor vectors HBM->VMEM (n_buf in flight), compute distances.
-    """
+                   n_buf, block_b, metric, group):
+    """Grid: (B // block_b,). For each group of ``group`` queries in the
+    block, DMA their rows of inline neighbor vectors HBM->VMEM (n_buf
+    groups in flight), compute all group distances in one vector op.
+    Grouping amortizes the per-iteration loop overhead (sem wait + address
+    math + loop control) over ``group`` rows; the DMAs themselves are
+    still one per row (rows are random HBM addresses)."""
     bi = pl.program_id(0)
+    n_grp = block_b // group
 
-    def get_dma(slot, i):
+    def dma(slot, g, j):
         return pltpu.make_async_copy(
-            inline_hbm.at[ids_ref[bi * block_b + i]],
-            vmem.at[slot],
-            sems.at[slot],
+            inline_hbm.at[ids_ref[bi * block_b + g * group + j]],
+            vmem.at[slot, j] if group > 1 else vmem.at[slot],
+            sems.at[slot, j] if group > 1 else sems.at[slot],
         )
 
     for s in range(n_buf):  # warm-up: fill the pipeline
-        get_dma(s, s).start()
+        for j in range(group):
+            dma(s, s, j).start()
 
-    def loop(i, _):
-        slot = jax.lax.rem(i, n_buf)
-        get_dma(slot, i).wait()
-        row = vmem[slot].astype(jnp.float32)  # (R, d)
-        q = q_ref[i, :].astype(jnp.float32)  # (d,)
-        if metric is Metric.MIPS:
-            dist = -jnp.sum(row * q[None, :], axis=1)
+    def loop(g, _):
+        slot = jax.lax.rem(g, n_buf)
+        for j in range(group):
+            dma(slot, g, j).wait()
+        rows = vmem[slot].astype(jnp.float32)  # (G, R, d) or (R, d)
+        if group > 1:
+            q = q_ref[pl.ds(g * group, group), :].astype(jnp.float32)
+            if metric is Metric.MIPS:
+                dist = -jnp.sum(rows * q[:, None, :], axis=2)
+            else:
+                diff = rows - q[:, None, :]
+                dist = jnp.sum(diff * diff, axis=2)
+            out_ref[pl.ds(g * group, group), :] = dist
         else:
-            diff = row - q[None, :]
-            dist = jnp.sum(diff * diff, axis=1)
-        out_ref[i, :] = dist
+            q = q_ref[g, :].astype(jnp.float32)  # (d,)
+            if metric is Metric.MIPS:
+                dist = -jnp.sum(rows * q[None, :], axis=1)
+            else:
+                diff = rows - q[None, :]
+                dist = jnp.sum(diff * diff, axis=1)
+            out_ref[g, :] = dist
 
-        nxt = i + n_buf
+        nxt = g + n_buf
 
-        @pl.when(nxt < block_b)
+        @pl.when(nxt < n_grp)
         def _():
-            get_dma(slot, nxt).start()
+            for j in range(group):
+                dma(slot, nxt, j).start()
 
         return 0
 
-    jax.lax.fori_loop(0, block_b, loop, 0)
+    jax.lax.fori_loop(0, n_grp, loop, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "block_b", "n_buf", "interpret")
+    jax.jit, static_argnames=("metric", "block_b", "n_buf", "interpret",
+                              "group")
 )
 def expand_distances(
     inline: jax.Array,  # (n_pad, R, d)
@@ -102,9 +119,11 @@ def expand_distances(
     block_b: int = 256,
     n_buf: int = 8,
     interpret: bool = False,
+    group: int = 1,
 ) -> jax.Array:
     """-> (B, R) distances from query b to the R inline neighbors of
-    expand_ids[b]. Caller masks invalid slots."""
+    expand_ids[b]. Caller masks invalid slots. ``group``: rows processed
+    per pipeline step (must divide block_b; amortizes loop overhead)."""
     B0, d = queries.shape
     R = inline.shape[1]
     # pad the batch so the query block tiles cleanly (sublane multiple of 8)
@@ -113,14 +132,20 @@ def expand_distances(
     if B != B0:
         queries = jnp.pad(queries, ((0, B - B0), (0, 0)))
         expand_ids = jnp.pad(expand_ids, (0, B - B0))
-    n_buf = min(n_buf, block_b)
+    group = max(1, min(group, block_b))
+    while block_b % group:
+        group -= 1
+    n_buf = min(n_buf, block_b // group)
     grid = (B // block_b,)
     if jax.default_backend() != "tpu":
         interpret = True  # CPU tests exercise the same kernel semantics
 
     kernel = functools.partial(
         _expand_kernel, R=R, d=d, n_buf=n_buf, block_b=block_b, metric=metric,
+        group=group,
     )
+    vshape = (n_buf, group, R, d) if group > 1 else (n_buf, R, d)
+    sshape = (n_buf, group) if group > 1 else (n_buf,)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -136,8 +161,8 @@ def expand_distances(
                 (block_b, R), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((n_buf, R, d), inline.dtype),
-                pltpu.SemaphoreType.DMA((n_buf,)),
+                pltpu.VMEM(vshape, inline.dtype),
+                pltpu.SemaphoreType.DMA(sshape),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, R), jnp.float32),

@@ -100,7 +100,7 @@ def _merge(beam_ids, beam_dists, beam_exp, cand_ids, cand_dists, L: int):
     static_argnames=(
         "metric", "n_valid", "k", "L", "cut", "limit", "degree_limit",
         "expand", "record_visited", "exclude_self", "use_inline", "block_b",
-        "bits",
+        "bits", "expand_group",
     ),
 )
 def beam_search_batch(
@@ -126,6 +126,7 @@ def beam_search_batch(
     block_b: int = 256,
     init_state: Optional[tuple] = None,
     bits: int = 32,
+    expand_group: int = 1,
 ) -> BeamResult:
     B, d = queries.shape
     R = int(nbrs.shape[1])
@@ -233,13 +234,13 @@ def beam_search_batch(
             if E == 1:
                 dmat = expand_distances(
                     inline, exp_ids_c[:, 0], queries, metric=metric,
-                    block_b=min(block_b, B),
+                    block_b=min(block_b, B), group=expand_group,
                 )[:, None, :]
             else:
                 qrep = jnp.repeat(queries, E, axis=0)
                 dmat = expand_distances(
                     inline, exp_ids_c.reshape(B * E), qrep, metric=metric,
-                    block_b=min(block_b, B * E),
+                    block_b=min(block_b, B * E), group=expand_group,
                 ).reshape(B, E, R)
             cand_dists = dmat[:, :, :rwidth].reshape(B, K)
             cand_dists = jnp.where(cand_valid, cand_dists, INF)

@@ -45,7 +45,7 @@ class FusedResult(NamedTuple):
     static_argnames=(
         "metric", "n_valid", "k", "L", "cut", "limit", "degree_limit",
         "expand", "use_inline", "tier_bits", "t1", "compact_w",
-        "rerank_pool", "do_rerank",
+        "rerank_pool", "do_rerank", "expand_group",
     ),
 )
 def fused_search(
@@ -73,6 +73,7 @@ def fused_search(
     compact_w: int = 0,  # phase-2 width; 0 = single phase
     rerank_pool: int = 0,
     do_rerank: bool = False,
+    expand_group: int = 1,
 ) -> FusedResult:
     B = q_full.shape[0]
 
@@ -90,6 +91,7 @@ def fused_search(
     common = dict(
         metric=metric, n_valid=n_valid, k=k, L=L, cut=cut,
         degree_limit=degree_limit, expand=expand, use_inline=use_inline,
+        expand_group=expand_group,
     )
 
     two_phase = t1 > 0 and compact_w > 0 and compact_w < B and limit > t1

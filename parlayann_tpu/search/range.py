@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from parlayann_tpu.types import Metric
+from parlayann_tpu.utils.arrays import as_device
 from parlayann_tpu.ops import distance
 from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.search.beam import _merge, beam_search_batch
@@ -155,7 +156,7 @@ def range_query(
     """Query-file-driven range search (RangeParams, check_range_recall.h):
     a beam search of width ``initial_beam`` finds in-range seeds, then the
     BFS collects the rest of the range."""
-    q = jnp.asarray(np.asarray(queries))
+    q = as_device(queries)
     res = beam_search_batch(
         q, points_data, nbrs, degs,
         jnp.asarray([start_point], dtype=jnp.int32),
