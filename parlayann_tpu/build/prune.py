@@ -71,6 +71,34 @@ def _pairwise(cand_vecs: jax.Array, metric: Metric) -> jax.Array:
 
 
 def _occlusion_loop(cand_ids, cand_dists, cand_vecs, alpha, R: int, metric: Metric):
+    """R rounds of α-occlusion -> (sel_ids, sel_dists), both (B, R) in
+    selection (= distance) order. Dispatches to the VMEM-resident Pallas
+    kernel (ops/pallas/occlude.py) unless PARLAYANN_OCCLUDE=xla; the XLA
+    pairwise-matrix path below is the reference implementation and the
+    CPU-test oracle for the kernel."""
+    import os
+
+    if os.environ.get("PARLAYANN_OCCLUDE", "kernel") != "xla":
+        from parlayann_tpu.ops.pallas.occlude import occlusion_rounds
+
+        B, C = cand_ids.shape
+        rounds = occlusion_rounds(
+            cand_dists, cand_vecs, alpha, R=R, metric=metric
+        )
+        # selection order == round order: one stable lane sort recovers the
+        # (B, R) lists; unselected rows carry round R + C -> sort to the end
+        srounds, sel_ids, sel_dists = jax.lax.sort(
+            (rounds, cand_ids, cand_dists), num_keys=1, is_stable=True
+        )
+        picked = srounds[:, :R] < R + C
+        return (
+            jnp.where(picked, sel_ids[:, :R], -1),
+            jnp.where(picked, sel_dists[:, :R], INF),
+        )
+    return _occlusion_loop_xla(cand_ids, cand_dists, cand_vecs, alpha, R, metric)
+
+
+def _occlusion_loop_xla(cand_ids, cand_dists, cand_vecs, alpha, R: int, metric: Metric):
     B, C = cand_ids.shape
     brow = jnp.arange(B, dtype=jnp.int32)
     pos_c = jnp.arange(C, dtype=jnp.int32)[None, :]

@@ -140,6 +140,35 @@ def _insert_batch(
     return nbrs, degs, (tot_vis, tot_cmp, rstats.n_overflow)
 
 
+# write step: forward prune + scatter + reverse append + overflow α-prune in
+# ONE dispatch. Production runs _beam_phase + _write_batch back-to-back with
+# NO fence: the two dispatches pipeline like one, and XLA's fusion of the
+# beam scan is ~3x better when the beam compiles as its own program
+# (23 vs 68 ms/batch device time, traced on the fused single-dispatch step)
+@partial(
+    jax.jit,
+    static_argnames=("R", "metric", "n_valid", "chunk", "rev_chunk"),
+    donate_argnums=(0, 1),
+)
+def _write_batch(
+    nbrs, degs, points_data, batch_ids, cand_ids, cand_d, alpha,
+    *, R: int, metric: Metric, n_valid: int, chunk: int = 2048,
+    rev_chunk: int = 4096,
+):
+    nbrs, degs, sel_ids, sel_dists = _fwd_phase_impl(
+        nbrs, degs, points_data, batch_ids, cand_ids, cand_d, alpha,
+        R=R, metric=metric, n_valid=n_valid, chunk=chunk,
+    )
+    nbrs, degs, ctx, rstats = prepare_reverse_append(
+        nbrs, degs, batch_ids, sel_ids, sel_dists, R=R, n_valid=n_valid,
+    )
+    nbrs, degs = prune_reverse_all(
+        nbrs, degs, ctx, points_data, alpha,
+        R=R, metric=metric, n_valid=n_valid, chunk=rev_chunk,
+    )
+    return nbrs, degs, rstats.n_overflow
+
+
 # split steps (profiling path): same impl functions, one dispatch per phase
 _beam_phase = partial(
     jax.jit,
@@ -329,13 +358,19 @@ def build_vamana_graph(
                 t_prune += time.perf_counter() - tb
                 stats_acc.append((v, c))
             else:
-                # production path: ONE dispatch per batch, nothing read back
-                nbrs, degs, st = _insert_batch(
-                    nbrs, degs, points.data, batch_j, alpha_j, start,
+                # production path: TWO pipelined dispatches per batch (beam
+                # then write), nothing read back — see _write_batch note
+                cand_ids, cand_d, v, c = _beam_phase(
+                    nbrs, degs, points.data, batch_j, start,
                     R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
                     expand=2,
                 )
-                stats_acc.append(st[:2])
+                nbrs, degs, _ = _write_batch(
+                    nbrs, degs, points.data, batch_j, cand_ids, cand_d,
+                    alpha_j, R=R, metric=points.metric, n_valid=n,
+                    chunk=2048, rev_chunk=4096,
+                )
+                stats_acc.append((v, c))
             if verbose and bi % 8 == 0:
                 print(f"pass {p}: batch {bi+1}/{len(sched)} ({hi}/{n})", flush=True)
 

@@ -43,6 +43,7 @@ class Index:
     inline: Optional[object] = None
     use_inline: bool = True
     bit_points: Optional[PointSet] = None  # packed 1-bit tier
+    inline_bits: Optional[object] = None  # (n, R, W) packed-word inline cache
     jl_tier: Optional[object] = None  # quantize.JLTier
     t2_points: Optional[PointSet] = None  # ternary 2-bit MIPS tier
     t4_points: Optional[PointSet] = None  # packed int4 MIPS tier
@@ -125,6 +126,17 @@ class Index:
             self.inline = build_inline(src.data, self.graph.neighbors)
         return self.inline
 
+    def build_inline_bits_cache(self, src: PointSet):
+        """Packed-word inline cache for the 1-bit tiers (n, R, W) uint32 —
+        32x smaller than the f32 inline, so it fits HBM at n where the
+        scalar tiers cannot; feeds the popcount variant of the Pallas
+        expansion kernel."""
+        from parlayann_tpu.ops.pallas.expand import build_inline
+
+        if self.inline_bits is None and self.use_inline:
+            self.inline_bits = build_inline(src.data, self.graph.neighbors)
+        return self.inline_bits
+
     # ------------------------------------------------------------------
     def batch_search(
         self,
@@ -166,11 +178,14 @@ class Index:
             ps = self.bit_points
             q = quantize.bit_translate_query(q_full, ps)
             bits, search_k = 1, 0
+            inline = self.build_inline_bits_cache(ps)
         elif self.jl_tier is not None:
             ps = self.jl_tier.points
             q = self.jl_tier.translate_query(q_full)
             bits = 1 if self.jl_tier.bits == 1 else 32
             search_k = 0 if bits == 1 else k
+            if bits == 1:
+                inline = self.build_inline_bits_cache(ps)
         elif self.t2_points is not None:
             ps = self.t2_points
             q = quantize.mips_2bit_translate_query(q_full, ps)
@@ -213,6 +228,7 @@ class Index:
             metric=ps.metric, n_valid=ps.n, k=search_k, L=L, cut=qp.cut,
             degree_limit=qp.degree_limit, expand=expand,
             use_inline=self.use_inline and inline is not None, bits=bits,
+            expand_group=expand_group,
         )
         start = jnp.asarray([self.start_point], dtype=jnp.int32)
         res = beam_search_batch(

@@ -53,9 +53,18 @@ def all_pairs(
 
 
 def gathered(
-    queries: jax.Array, cand_vecs: jax.Array, metric: Metric
+    queries: jax.Array,
+    cand_vecs: jax.Array,
+    metric: Metric,
+    cand_norms: jax.Array | None = None,
 ) -> jax.Array:
-    """(B, d), (B, K, d) -> (B, K) distances of per-query gathered candidates."""
+    """(B, d), (B, K, d) -> (B, K) distances of per-query gathered candidates.
+
+    ``cand_norms`` is accepted for API stability but unused: a bf16-dot
+    norm form was tried for the int8 tier and measured SLOWER than the
+    diff² form (281 vs 221 ms/fused-insert-batch) — einsum bkd,bd->bk is a
+    batched matvec the MXU cannot tile, while XLA fuses the diff² reduce
+    straight into the gather."""
     q = _to_f32(queries)
     c = _to_f32(cand_vecs)
     if metric is Metric.MIPS:

@@ -51,13 +51,20 @@ def build_inline(points_data: jax.Array, nbrs: jax.Array, dtype=None) -> jax.Arr
 
 
 def _expand_kernel(ids_ref, q_ref, inline_hbm, out_ref, vmem, sems, *, R, d,
-                   n_buf, block_b, metric, group):
+                   n_buf, block_b, metric, group, bits):
     """Grid: (B // block_b,). For each group of ``group`` queries in the
     block, DMA their rows of inline neighbor vectors HBM->VMEM (n_buf
     groups in flight), compute all group distances in one vector op.
     Grouping amortizes the per-iteration loop overhead (sem wait + address
     math + loop control) over ``group`` rows; the DMAs themselves are
-    still one per row (rows are random HBM addresses)."""
+    still one per row (rows are random HBM addresses).
+
+    ``bits == 1``: inline rows and queries are packed 1-bit words (uint32,
+    d == n_words); the distance is XOR + popcount hamming
+    (euclidian_point.h:332-420, mips_point.h:625-700). The 32x-smaller
+    inline array is the point: the kernel is DMA-issue-rate bound, so row
+    bytes are nearly free, but a bit inline fits HBM at n where the int8
+    inline cannot."""
     bi = pl.program_id(0)
     n_grp = block_b // group
 
@@ -72,27 +79,30 @@ def _expand_kernel(ids_ref, q_ref, inline_hbm, out_ref, vmem, sems, *, R, d,
         for j in range(group):
             dma(s, s, j).start()
 
+    def dist_of(rows, q):
+        """rows (..., R, d), q (..., 1, d) -> (..., R)."""
+        if bits == 1:
+            x = jnp.bitwise_xor(rows, q)
+            return jnp.sum(
+                jax.lax.population_count(x).astype(jnp.int32), axis=-1
+            ).astype(jnp.float32)
+        rows = rows.astype(jnp.float32)
+        q = q.astype(jnp.float32)
+        if metric is Metric.MIPS:
+            return -jnp.sum(rows * q, axis=-1)
+        diff = rows - q
+        return jnp.sum(diff * diff, axis=-1)
+
     def loop(g, _):
         slot = jax.lax.rem(g, n_buf)
         for j in range(group):
             dma(slot, g, j).wait()
-        rows = vmem[slot].astype(jnp.float32)  # (G, R, d) or (R, d)
+        rows = vmem[slot]  # (G, R, d) or (R, d)
         if group > 1:
-            q = q_ref[pl.ds(g * group, group), :].astype(jnp.float32)
-            if metric is Metric.MIPS:
-                dist = -jnp.sum(rows * q[:, None, :], axis=2)
-            else:
-                diff = rows - q[:, None, :]
-                dist = jnp.sum(diff * diff, axis=2)
-            out_ref[pl.ds(g * group, group), :] = dist
+            q = q_ref[pl.ds(g * group, group), :]
+            out_ref[pl.ds(g * group, group), :] = dist_of(rows, q[:, None, :])
         else:
-            q = q_ref[g, :].astype(jnp.float32)  # (d,)
-            if metric is Metric.MIPS:
-                dist = -jnp.sum(rows * q[None, :], axis=1)
-            else:
-                diff = rows - q[None, :]
-                dist = jnp.sum(diff * diff, axis=1)
-            out_ref[g, :] = dist
+            out_ref[g, :] = dist_of(rows, q_ref[g, :][None, :])
 
         nxt = g + n_buf
 
@@ -108,7 +118,7 @@ def _expand_kernel(ids_ref, q_ref, inline_hbm, out_ref, vmem, sems, *, R, d,
 
 @functools.partial(
     jax.jit, static_argnames=("metric", "block_b", "n_buf", "interpret",
-                              "group")
+                              "group", "bits")
 )
 def expand_distances(
     inline: jax.Array,  # (n_pad, R, d)
@@ -120,10 +130,12 @@ def expand_distances(
     n_buf: int = 8,
     interpret: bool = False,
     group: int = 1,
+    bits: int = 32,
 ) -> jax.Array:
     """-> (B, R) distances from query b to the R inline neighbors of
     expand_ids[b]. Caller masks invalid slots. ``group``: rows processed
-    per pipeline step (must divide block_b; amortizes loop overhead)."""
+    per pipeline step (must divide block_b; amortizes loop overhead).
+    ``bits=1``: packed-word hamming path (inline + queries are uint32)."""
     B0, d = queries.shape
     R = inline.shape[1]
     # pad the batch so the query block tiles cleanly (sublane multiple of 8)
@@ -142,7 +154,7 @@ def expand_distances(
 
     kernel = functools.partial(
         _expand_kernel, R=R, d=d, n_buf=n_buf, block_b=block_b, metric=metric,
-        group=group,
+        group=group, bits=bits,
     )
     vshape = (n_buf, group, R, d) if group > 1 else (n_buf, R, d)
     sshape = (n_buf, group) if group > 1 else (n_buf,)

@@ -142,7 +142,8 @@ def beam_search_batch(
     S = starts.shape[1]
 
     def xla_distances(ids, valid):
-        vecs = jnp.take(points_data, jnp.clip(ids, 0, points_data.shape[0] - 1), axis=0)
+        cids = jnp.clip(ids, 0, points_data.shape[0] - 1)
+        vecs = jnp.take(points_data, cids, axis=0)
         from parlayann_tpu.ops import quantize as _q
 
         if bits == 1:
@@ -231,16 +232,20 @@ def beam_search_batch(
         dist_cmps_new = dist_cmps + jnp.sum(cand_valid, axis=1).astype(jnp.int32)
 
         if have_inline:
+            # bits==1 runs the packed-word hamming variant of the same
+            # kernel (inline + queries are uint32 words); 2/4-bit tiers
+            # have no kernel path yet and use the XLA fallback
+            kbits = 1 if bits == 1 else 32
             if E == 1:
                 dmat = expand_distances(
                     inline, exp_ids_c[:, 0], queries, metric=metric,
-                    block_b=min(block_b, B), group=expand_group,
+                    block_b=min(block_b, B), group=expand_group, bits=kbits,
                 )[:, None, :]
             else:
                 qrep = jnp.repeat(queries, E, axis=0)
                 dmat = expand_distances(
                     inline, exp_ids_c.reshape(B * E), qrep, metric=metric,
-                    block_b=min(block_b, B * E), group=expand_group,
+                    block_b=min(block_b, B * E), group=expand_group, bits=kbits,
                 ).reshape(B, E, R)
             cand_dists = dmat[:, :, :rwidth].reshape(B, K)
             cand_dists = jnp.where(cand_valid, cand_dists, INF)
