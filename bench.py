@@ -67,7 +67,11 @@ def main():
     if tier == "q8":
         from parlayann_tpu.ops import quantize
         build_ps = quantize.quantize_pointset(ps, bits=8)
-    bp = BuildParams(R=32, L=64, alpha=1.2, num_passes=2)
+    # batch_cap_frac 0.04 vs the reference's 0.02 (index.h:206): measured
+    # same recall (.9639 vs .9562 @ Q=40) and 1.3x faster build on TPU —
+    # fewer, wider dispatches amortize fixed per-batch costs
+    bp = BuildParams(R=32, L=64, alpha=1.2, num_passes=2,
+                     batch_cap_frac=0.04)
     t0 = time.perf_counter()
     # BENCH_PROFILE=1 opts into the split-dispatch phase timers; measured
     # cost through the relay is ~0.5s/batch of pure fence latency (154s vs
@@ -100,36 +104,66 @@ def main():
         except Exception as e:
             log("phase estimate failed:", e)
 
-    idx = Index(points=ps, graph=graph).enable_quantized(bits=8)
-    best_qps, best_rec, best_beam = 0.0, 0.0, 0
-    results = []
     # G=4 grouped-DMA expansion: ~1.5x QPS (amortizes the per-row DMA
     # issue overhead in the Pallas inline kernel over 4 queries)
     egroup = int(os.environ.get("BENCH_EXPAND_GROUP", 4))
-    for beam in [10, 12, 15, 18, 22, 27, 33, 40, 50, 65, 85, 110, 150,
-                 220, 320, 450]:
-        # repeat and keep the fastest run: dispatch latency through the
-        # remote TPU relay is noisy (+-2x observed)
-        dt = float("inf")
-        for _ in range(3):
-            ids, dists, res, dt_i = idx.batch_search_timed(
-                Q, k=k, beam_size=beam, two_phase=True, expand_group=egroup
-            )
-            dt = min(dt, dt_i)
-        rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, k)
-        qps = nq / dt
-        results.append((beam, rec, qps))
-        log(f"  Q={beam:4d} recall={rec:.4f} QPS={qps:,.0f} "
-            f"cmps={np.asarray(res.dist_cmps).mean():.0f}")
-        if rec >= 0.95 and qps > best_qps:
-            best_qps, best_rec, best_beam = qps, rec, beam
-        if rec > 0.995:
-            break
 
-    if best_qps == 0.0 and results:
-        # recall target not reached in the sweep: report the best-recall row
-        # so the metric is never degenerate
-        best_beam, best_rec, best_qps = max(results, key=lambda r: r[1])
+    def sweep(idx, beams, tag):
+        """Beam sweep -> (best ≥.95 row or best-recall row, all rows)."""
+        best = (0, 0.0, 0.0)  # (beam, recall, qps)
+        rows = []
+        for beam in beams:
+            # keep the fastest of 3: dispatch latency through the remote
+            # TPU relay is noisy (+-2x observed)
+            dt = float("inf")
+            for _ in range(3):
+                ids, dists, res, dt_i = idx.batch_search_timed(
+                    Q, k=k, beam_size=beam, two_phase=True,
+                    expand_group=egroup,
+                )
+                dt = min(dt, dt_i)
+            rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, k)
+            qps = nq / dt
+            rows.append((beam, rec, qps))
+            log(f"  [{tag}] Q={beam:4d} recall={rec:.4f} QPS={qps:,.0f} "
+                f"cmps={np.asarray(res.dist_cmps).mean():.0f}")
+            if rec >= 0.95 and qps > best[2]:
+                best = (beam, rec, qps)
+            if rec > 0.995:
+                break
+        if best[2] == 0.0 and rows:
+            # recall target not reached: report the best-recall row so the
+            # metric is never degenerate
+            best = max(rows, key=lambda r: r[1])
+        return best, rows
+
+    idx = Index(points=ps, graph=graph).enable_quantized(bits=8)
+    (best_beam, best_rec, best_qps), results = sweep(
+        idx, [10, 12, 15, 18, 22, 27, 33, 40, 50, 65, 85, 110, 150,
+              220, 320, 450], "r32",
+    )
+
+    # reference's own suggested SIFT config (algorithms/vamana/scripts/
+    # sift:2-4): R=64 L=128 alpha=1.15 q8 — the denser graph needs a beam
+    # ~4x narrower for the same recall, trading build time for QPS
+    r64 = {}
+    if os.environ.get("BENCH_R64", "1") == "1":
+        bp64 = BuildParams(R=64, L=128, alpha=1.15, num_passes=2,
+                           batch_cap_frac=0.04)
+        t0 = time.perf_counter()
+        graph64, _ = build_vamana_graph(build_ps, bp64, verbose=False)
+        r64_build = time.perf_counter() - t0
+        avg64, _ = graph64.stats()
+        log(f"r64 build: {r64_build:.2f}s deg {avg64:.2f}")
+        idx64 = Index(points=ps, graph=graph64).enable_quantized(bits=8)
+        (b64, rec64, qps64), rows64 = sweep(
+            idx64, [8, 10, 12, 14, 17, 20, 25, 32, 45], "r64")
+        r64 = {
+            "build_time_s": round(r64_build, 2),
+            "avg_degree": round(avg64, 2),
+            "beam": b64, "recall": round(rec64, 4), "qps": round(qps64, 1),
+            "sweep": [(b, round(r, 4), round(q, 1)) for b, r, q in rows64],
+        }
 
     baseline_qps = 1.15e6  # BASELINE.md: 72-core @ recall .958
     out = {
@@ -151,6 +185,7 @@ def main():
             },
             "avg_degree": round(avg_deg, 2),
             "sweep": [(b, round(r, 4), round(q, 1)) for b, r, q in results],
+            "r64_config": r64,
         },
     }
     print(json.dumps(out), flush=True)

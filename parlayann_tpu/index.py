@@ -150,8 +150,15 @@ class Index:
         rerank_factor: int = 10,
         two_phase: bool = True,
         expand_group: int = 1,
+        random_starts: int = 0,
+        seed: int = 0,
     ):
         """Search all query rows -> (ids (B,k), dists (B,k), result).
+
+        ``random_starts > 0``: every query starts from that many uniformly
+        random vertices instead of ``start_point`` (beamSearchRandom,
+        beamSearch.h:309-351 — the reference draws one). Required for
+        graphs without a navigable entry, e.g. pyNNDescent's k-NN graph.
 
         Mirrors GraphIndex::batch_search (graph_index.cpp:192-216):
         QueryParams(k, Q, cut, visit_limit, degree_limit); runs quantized +
@@ -169,6 +176,13 @@ class Index:
         ).resolved(self.graph.max_degree, self.points.n)
         # never round-trip device-resident queries (as_device docstring)
         q_full = as_device(queries)
+        if random_starts > 0:
+            rs = np.random.default_rng(seed).integers(
+                0, self.points.n, (q_full.shape[0], random_starts)
+            )
+            start_arr = jnp.asarray(rs, dtype=jnp.int32)
+        else:
+            start_arr = jnp.asarray([self.start_point], dtype=jnp.int32)
         # tier priority: 1-bit > JL > 2-bit > 4-bit > scalar-q > full.
         # Coarse tiers (bit/JL-bit/2-bit) have huge tie classes, so the
         # metric cut rule is unusable: search with k=0 (pure beam) and let
@@ -209,7 +223,7 @@ class Index:
             res = fused_search(
                 q_full.astype(jnp.float32), ps.data, self.points.data,
                 self.graph.neighbors, self.graph.degrees,
-                jnp.asarray([self.start_point], dtype=jnp.int32),
+                start_arr,
                 inline, ps.quant_slope, ps.quant_offset,
                 metric=ps.metric, n_valid=ps.n, k=k, L=L, cut=qp.cut,
                 limit=qp.limit, degree_limit=qp.degree_limit, expand=expand,
@@ -230,7 +244,7 @@ class Index:
             use_inline=self.use_inline and inline is not None, bits=bits,
             expand_group=expand_group,
         )
-        start = jnp.asarray([self.start_point], dtype=jnp.int32)
+        start = start_arr
         res = beam_search_batch(
             q, ps.data, self.graph.neighbors, self.graph.degrees,
             start, None, inline, limit=qp.limit, **common,

@@ -28,12 +28,18 @@ from parlayann_tpu.types import Metric
 
 
 def build_inline(points_data: jax.Array, nbrs: jax.Array, dtype=None) -> jax.Array:
-    """(n_pad, d), (n_pad, R) -> (n_pad, R, d) inline neighbor vectors.
+    """(n_pad, d), (n_pad, R) -> (n_pad, R8, d) inline neighbor vectors,
+    with R8 = R rounded up to a multiple of 8: Mosaic requires DMA slices
+    sublane-aligned, and graphs like HCNNG have R = 90. Pad slots hold
+    row 0's vector; callers mask by degree.
 
     Built by chunked gather (one pass over the graph); refreshed once
     post-build for search (or per batch during build).
     """
     n_pad, R = nbrs.shape
+    if R % 8:
+        nbrs = jnp.pad(nbrs, ((0, 0), (0, 8 - R % 8)))
+        R = nbrs.shape[1]
     d = points_data.shape[1]
     dt = dtype or points_data.dtype
 

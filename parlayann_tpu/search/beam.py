@@ -236,6 +236,8 @@ def beam_search_batch(
             # kernel (inline + queries are uint32 words); 2/4-bit tiers
             # have no kernel path yet and use the XLA fallback
             kbits = 1 if bits == 1 else 32
+            # the inline array may be R-padded to a sublane multiple
+            # (build_inline); slice the kernel output back to rwidth
             if E == 1:
                 dmat = expand_distances(
                     inline, exp_ids_c[:, 0], queries, metric=metric,
@@ -246,7 +248,7 @@ def beam_search_batch(
                 dmat = expand_distances(
                     inline, exp_ids_c.reshape(B * E), qrep, metric=metric,
                     block_b=min(block_b, B * E), group=expand_group, bits=kbits,
-                ).reshape(B, E, R)
+                ).reshape(B, E, inline.shape[1])
             cand_dists = dmat[:, :, :rwidth].reshape(B, K)
             cand_dists = jnp.where(cand_valid, cand_dists, INF)
         else:
@@ -327,3 +329,30 @@ def beam_search_batch(
 def top_k_from_beam(res: BeamResult, k: int):
     """First k frontier entries -> (ids, dists); -1 id for missing."""
     return res.beam_ids[:, :k], res.beam_dists[:, :k]
+
+
+def beam_search_random(
+    queries,
+    points_data,
+    nbrs,
+    degs,
+    *,
+    n_starts: int = 1,
+    seed: int = 0,
+    **kw,
+) -> BeamResult:
+    """beamSearchRandom parity (beamSearch.h:309-351): every query starts
+    from ``n_starts`` uniformly random vertices (the reference uses one).
+    Essential for graphs without a navigable entry point — a pure k-NN
+    graph (pyNNDescent) has no long-range edges, so single-start beam
+    search collapses at scale (measured recall 0.0006 on 100K)."""
+    import numpy as _np
+
+    B = queries.shape[0]
+    n_valid = kw.get("n_valid", points_data.shape[0])
+    rs = _np.random.default_rng(seed).integers(
+        0, n_valid, (B, n_starts), dtype=_np.int32
+    )
+    return beam_search_batch(
+        queries, points_data, nbrs, degs, jnp.asarray(rs), **kw
+    )

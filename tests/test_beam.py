@@ -150,3 +150,48 @@ def test_beam_inline_matches_gather(rng):
     np.testing.assert_allclose(
         np.asarray(r1.beam_dists), np.asarray(r2.beam_dists), rtol=1e-5, atol=1e-5
     )
+
+
+def test_beam_search_random_starts(rng):
+    """beamSearchRandom parity (beamSearch.h:309-351): per-query random
+    starts reach island clusters a single fixed start cannot."""
+    from parlayann_tpu.search.beam import beam_search_random
+
+    n, d, k = 400, 8, 5
+    # two far-apart blobs; a 6-NN graph is disconnected between them
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x[n // 2:] += 60.0
+    q = x[n - 8:] + 0.01  # queries in the second blob
+    ps = PointSet.from_numpy(x)
+    g = _knn_graph(ps, 6)
+    r_fixed = beam_search_batch(
+        jnp.asarray(q), ps.data, g.neighbors, g.degrees,
+        jnp.asarray([0], dtype=jnp.int32),
+        metric=Metric.L2, n_valid=n, k=k, L=16, use_inline=False,
+    )
+    ids_fixed, _ = top_k_from_beam(r_fixed, k)
+    # fixed start 0 lives in blob 1: finds nothing from blob 2
+    assert (np.asarray(ids_fixed) < n // 2).all()
+    r_rand = beam_search_random(
+        jnp.asarray(q), ps.data, g.neighbors, g.degrees,
+        n_starts=8, seed=3,
+        metric=Metric.L2, n_valid=n, k=k, L=16, use_inline=False,
+    )
+    ids_rand, _ = top_k_from_beam(r_rand, k)
+    # with 8 random starts, some land in blob 2 and the true NNs surface
+    assert (np.asarray(ids_rand) >= n // 2).mean() > 0.9
+
+
+def test_index_random_starts(rng):
+    """Index.batch_search(random_starts=...) end-to-end."""
+    from parlayann_tpu.index import Index
+
+    n, d = 300, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    ps = PointSet.from_numpy(x)
+    g = _knn_graph(ps, 8)
+    idx = Index(points=ps, graph=g)
+    ids, dists, _ = idx.batch_search(q, k=5, beam_size=16, random_starts=4)
+    assert ids.shape == (16, 5)
+    assert (np.asarray(ids) < n).all()
