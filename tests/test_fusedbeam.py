@@ -1,0 +1,92 @@
+"""Fused beam-step kernel vs the XLA reference path (exactness)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from parlayann_tpu.types import Metric
+from parlayann_tpu.data.pointset import PointSet
+from parlayann_tpu.ops import quantize
+from parlayann_tpu.search.beam import beam_search_batch
+from parlayann_tpu.ops.pallas.bitonic import bitonic_sort, bitonic_merge
+from parlayann_tpu.ops.pallas.fusedbeam import (
+    build_inline_ext, beam_search_fused,
+)
+
+
+def test_bitonic_sort_matches_lax_sort(rng):
+    for W in (8, 64, 128):
+        k = rng.standard_normal((16, W)).astype(np.float32)
+        p = rng.permutation(16 * W).reshape(16, W).astype(np.int32)
+        sk, sp = bitonic_sort(jnp.asarray(k), jnp.asarray(p))
+        rk, rp = jax.lax.sort((jnp.asarray(k), jnp.asarray(p)), num_keys=1)
+        np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+
+
+def test_bitonic_merge(rng):
+    W = 128
+    a = np.sort(rng.standard_normal((8, W // 2)).astype(np.float32), axis=1)
+    b = np.sort(rng.standard_normal((8, W // 2)).astype(np.float32),
+                axis=1)[:, ::-1]
+    k = np.concatenate([a, b], axis=1)
+    mk, = bitonic_merge(jnp.asarray(k))
+    np.testing.assert_array_equal(np.asarray(mk), np.sort(k, axis=1))
+
+
+def test_fused_beam_matches_xla(rng):
+    """Valid beam entries, visited counts and dist_cmps all equal the
+    XLA beam_search_batch on a duplicate-free graph (the kernel's
+    documented row contract)."""
+    n, d, R, B, L, k = 500, 128, 16, 48, 12, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    ps = PointSet.from_numpy(X)
+    qps = quantize.quantize_pointset(ps, bits=8)
+    nbrs = np.empty((n, R), np.int32)
+    for i in range(n):
+        nbrs[i] = rng.choice(n, R, replace=False)
+    nbrs = jnp.asarray(nbrs)
+    degs = jnp.asarray(rng.integers(4, R + 1, (n,)).astype(np.int32))
+    Qf = rng.standard_normal((B, d)).astype(np.float32)
+    q_t = quantize.translate_query(jnp.asarray(Qf), qps).astype(jnp.float32)
+    starts = jnp.zeros((1,), jnp.int32)
+
+    ref = beam_search_batch(
+        q_t, qps.data, nbrs, degs, starts,
+        metric=Metric.L2, n_valid=n, k=k, L=L, use_inline=False,
+    )
+    inline_ext = build_inline_ext(qps.data, nbrs, degs)
+    fid, fdist, fnv, fcmps = beam_search_fused(
+        q_t, qps.data, inline_ext, starts,
+        metric=Metric.L2, n_valid=n, k=k, L=L, G=8, block_b=48,
+    )
+    rd, fd = np.asarray(ref.beam_dists), np.asarray(fdist)
+    ri, fi = np.asarray(ref.beam_ids), np.asarray(fid)
+    big = 1e37
+    np.testing.assert_allclose(
+        np.where(rd > big, 0, rd), np.where(fd > big, 0, fd), rtol=1e-5
+    )
+    # ids: tie-aware — the kernel's bitonic breaks equal-distance ties
+    # arbitrarily where the XLA sort is stable; compare (dist, id) SETS
+    for b in range(B):
+        rset = sorted((rd[b, i], ri[b, i]) for i in range(L) if rd[b, i] < big)
+        fset = sorted((fd[b, i], fi[b, i]) for i in range(L) if fd[b, i] < big)
+        assert rset == fset, b
+    np.testing.assert_array_equal(
+        np.asarray(ref.num_visited), np.asarray(fnv)
+    )
+    np.testing.assert_array_equal(np.asarray(ref.dist_cmps), np.asarray(fcmps))
+
+
+def test_inline_ext_id_planes(rng):
+    """Byte planes reassemble to the degree-masked neighbor ids."""
+    n, d, R = 64, 128, 12
+    pts = jnp.asarray(rng.integers(-100, 100, (n, d)).astype(np.int8))
+    nbrs = jnp.asarray(rng.integers(0, n, (n, R)).astype(np.int32))
+    degs = jnp.asarray(rng.integers(0, R + 1, (n,)).astype(np.int32))
+    ext = np.asarray(build_inline_ext(pts, nbrs, degs))
+    R8 = (R + 7) // 8 * 8
+    b = [ext[:, R8 + i, :].astype(np.int32) & 0xFF for i in range(4)]
+    ids = b[0] + (b[1] << 8) + (b[2] << 16) + (b[3] << 24)
+    slot = np.arange(R)[None, :]
+    want = np.where(slot < np.asarray(degs)[:, None], np.asarray(nbrs), -1)
+    np.testing.assert_array_equal(ids[:, :R], want)
