@@ -64,12 +64,21 @@ def exact_knn(
 def compute_groundtruth(
     base: PointSet, queries: np.ndarray, k: int, query_batch: int = 8192
 ):
-    """Host-driver over query batches (compute_groundtruth.cpp:104)."""
+    """Host-driver over query batches (compute_groundtruth.cpp:104).
+
+    The tail batch is zero-padded to ``query_batch`` so every batch runs
+    the same compiled program (an odd tail shape costs a fresh ~40s
+    remote compile through the relay)."""
+    nq = len(queries)
     out_i, out_d = [], []
-    for lo in range(0, len(queries), query_batch):
-        ids, dists = exact_knn(queries[lo : lo + query_batch], base, k)
-        out_i.append(np.asarray(ids))
-        out_d.append(np.asarray(dists))
+    for lo in range(0, nq, query_batch):
+        qb = np.asarray(queries[lo : lo + query_batch])
+        if len(qb) < query_batch and lo > 0:
+            qb = np.pad(qb, ((0, query_batch - len(qb)), (0, 0)))
+        ids, dists = exact_knn(qb, base, k)
+        take = min(query_batch, nq - lo)
+        out_i.append(np.asarray(ids)[:take])
+        out_d.append(np.asarray(dists)[:take])
     return np.concatenate(out_i), np.concatenate(out_d)
 
 
