@@ -334,7 +334,10 @@ def _insert_at_level(lv: Level, points: PointSet, batch_glob: np.ndarray,
     eg = np.pad(eg, ((0, pad), (0, 0)), constant_values=0)
     loc = lv.glob2loc[np.clip(bg, 0, None)]
     loc = np.where(bg >= 0, loc, -1).astype(np.int32)
-    starts = jnp.asarray(lv.glob2loc[eg])
+    # -1 padding in the entrance list stays -1 locally (invalid start)
+    starts = jnp.asarray(
+        np.where(eg >= 0, lv.glob2loc[np.clip(eg, 0, None)], -1)
+    )
     q = jnp.take(points.data, jnp.asarray(np.clip(bg, 0, None)), axis=0)
 
     res = beam_search_batch(
@@ -385,7 +388,7 @@ def _descend(lv: Level, points: PointSet, batch_glob: np.ndarray,
     q = jnp.take(points.data, jnp.asarray(bg), axis=0)
     res = beam_search_batch(
         q, lv.points_l, lv.nbrs, lv.degs,
-        jnp.asarray(lv.glob2loc[eg]),
+        jnp.asarray(np.where(eg >= 0, lv.glob2loc[np.clip(eg, 0, None)], -1)),
         metric=points.metric, n_valid=len(lv.members), k=0, L=1,
     )
     loc = np.asarray(res.beam_ids[:, 0])[:B0]
@@ -435,10 +438,17 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
         batch = order[lo:hi]
         blev = levels_of[batch]
         # every descent seeds from the FULL entrance list (HNSW.hpp:869-881);
-        # after the first level touched, entry collapses to the single best
-        entry = np.broadcast_to(
-            np.asarray(entrances, dtype=np.int32), (len(batch), len(entrances))
-        ).copy()
+        # after the first level touched, entry collapses to the single best.
+        # The list is padded to a power of two (-1 = invalid, masked by the
+        # beam init): a growing width re-specializes every beam program
+        # through the ~40s/remote-compile relay — measured 495s -> ~60s
+        # steady at 100K from this alone.
+        S = 1
+        while S < len(entrances):
+            S *= 2
+        ent_pad = np.full(S, -1, dtype=np.int32)
+        ent_pad[: len(entrances)] = entrances
+        entry = np.broadcast_to(ent_pad, (len(batch), S)).copy()
         # start at the batch's own max level, not just the entrance level —
         # points above the current entrance insert on ALL their levels
         # (HNSW.hpp:991-1007), not only after later reverse edges wire them
