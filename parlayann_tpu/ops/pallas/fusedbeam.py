@@ -12,6 +12,23 @@ Semantics match ``search.beam.beam_search_batch`` with E=1 (the search
 configuration) up to sentinel bookkeeping and distance-tie order; valid
 (dist < INF) beam entries are verified equal in tests/test_fusedbeam.py.
 
+Round-3 structure (the round-2 version ran the whole merge per G-query
+group on (G, 128) operands and lost to the hybrid path, 69K vs 164K QPS):
+
+  * The per-group DMA loop now does ONLY the row-local work — reassemble
+    neighbor ids from the byte planes and compute raw candidate
+    distances — and parks the results in block-wide VMEM scratch.
+  * All beam algebra (cutoff, dedup, candidate sort, merge, next-expand
+    selection) runs ONCE per block on (block_b, lanes) shapes, so every
+    bitonic stage moves block_b/8 vregs instead of one: the VPU issue
+    overhead that dominated the per-group version is amortized 32x.
+  * The beam state is carried in Wb = pow2(L) lanes (not pow2(L + R)):
+    only the Wb smallest candidates can enter a beam of L entries, so
+    after the candidate sort the merge needs just 2*Wb lanes. At the
+    headline operating point (L<=16, R=64) the merge drops from 7
+    stages on 128 lanes to 5 stages on 32 lanes, and the beam state
+    arrays shrink 4-8x.
+
 Extended inline layout (``build_inline_ext``): row v is ``(R8 + 8, d)``
 int8 — R8 sublanes of neighbor vectors (R rounded to 8), then 4 sublanes
 of neighbor-id byte planes (byte b of id j at sublane R8+b, lane j; ids
@@ -20,9 +37,9 @@ interpret), then pad to a sublane multiple of 8. One DMA per expansion
 moves vectors + ids together, keeping the kernel at the DMA-issue-rate
 floor (~8.8M rows/s measured) instead of doubling the copy count.
 
-Beam state is carried as ``W`` lanes (W = pow2 ≥ L + R8): lanes < L hold
-the beam (dist f32 ascending + packed id*2+unexpanded-bit int32, the
-same packing as search.beam._merge); lanes ≥ L are INF/sentinel.
+Beam lanes < L hold the beam (dist f32 ascending + packed
+id*2+unexpanded-bit int32, the same packing as search.beam._merge);
+lanes >= L are INF/sentinel.
 """
 
 from __future__ import annotations
@@ -39,6 +56,13 @@ from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.ops.pallas.bitonic import bitonic_merge, bitonic_sort
 
 _INF = float(INF)
+
+
+def _pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
 
 
 def build_inline_ext(points_data: jax.Array, nbrs: jax.Array,
@@ -84,7 +108,7 @@ def build_inline_ext(points_data: jax.Array, nbrs: jax.Array,
 
 
 def _at_lane(x, lane_f, pos):
-    """(G, W) value at static lane ``pos`` -> (G, 1) (keepdims: Mosaic
+    """(B, W) value at static lane ``pos`` -> (B, 1) (keepdims: Mosaic
     prefers 2-D vectors throughout)."""
     return jnp.sum(
         jnp.where(lane_f == float(pos), x, 0.0), axis=1, keepdims=True
@@ -94,15 +118,15 @@ def _at_lane(x, lane_f, pos):
 def _step_kernel(
     exp_ref,  # scalar prefetch: (B,) int32 vertex to expand (-1 = none)
     q_ref,  # (block_b, d) f32
-    bdist_ref,  # (block_b, W) f32
-    bpack_ref,  # (block_b, W) int32
+    bdist_ref,  # (block_b, Wb) f32
+    bpack_ref,  # (block_b, Wb) int32
     nv_ref,  # (block_b, 1) int32
     cmps_ref,  # (block_b, 1) int32
     expv_ref,  # (block_b, 1) int32 — exp_ids again, as a vector block
     inline_hbm,  # (n_pad, R8 + 8, d) int8, ANY
     obdist, obpack, onv, ocmps, onext,  # outputs
-    vmem, sems,  # scratch
-    *, R8, d, W, L, k, n_valid, metric, cut, limit, block_b, G, n_buf,
+    vmem, sems, cdbuf, cibuf,  # scratch
+    *, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit, block_b, G, n_buf,
     ablate="full",
 ):
     bi = pl.program_id(0)
@@ -120,14 +144,7 @@ def _step_kernel(
         for j in range(G):
             dma(s, s, j).start()
 
-    lane_f = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1).astype(jnp.float32)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
-
-    def _roll(v, s):
-        # measured: jnp.roll (slice+concat lowering) beats pltpu.roll's
-        # native rotate here — 69K vs 40K QPS end-to-end on the r64 bench
-        return jnp.roll(v, s, axis=-1)
-
+    # ---- phase A: per-group DMA + row-local compute -> block scratch ----
     def loop(g, _):
         slot = jax.lax.rem(g, n_buf)
         for j in range(G):
@@ -135,14 +152,8 @@ def _step_kernel(
         rows = vmem[slot]  # (G, R8 + 8, d) int8
         sl = pl.ds(g * G, G)
         q = q_ref[sl, :]  # (G, d) f32
-        bdist = bdist_ref[sl, :]  # (G, W)
-        bpack = bpack_ref[sl, :]  # (G, W)
-        nv = nv_ref[sl, :]  # (G, 1)
-        cmps = cmps_ref[sl, :]  # (G, 1)
-        exp_v = expv_ref[sl, :]  # (G, 1) expand ids (-1 = frozen/none)
-        exp_ok = exp_v >= 0  # (G, 1)
 
-        # ---- candidate ids from the byte planes ----
+        # candidate ids from the byte planes
         b0 = rows[:, R8 + 0, :].astype(jnp.int32) & 0xFF  # (G, d)
         b1 = rows[:, R8 + 1, :].astype(jnp.int32) & 0xFF
         b2 = rows[:, R8 + 2, :].astype(jnp.int32) & 0xFF
@@ -151,154 +162,154 @@ def _step_kernel(
         # lanes >= R8 hold zero planes (id 0, NOT -1): mask them invalid
         lane_d = jax.lax.broadcasted_iota(jnp.int32, (G, d), 1)
         cid = jnp.where(lane_d < R8, cid_d, -1)[:, :R8]
-        cvalid = (cid >= 0) & (cid < n_valid) & exp_ok
 
-        # ---- candidate distances ----
+        # candidate distances
         vecs = rows[:, :R8, :].astype(jnp.float32)  # (G, R8, d)
         if metric is Metric.MIPS:
             cd = -jnp.sum(vecs * q[:, None, :], axis=2)
         else:
             diff = vecs - q[:, None, :]
             cd = jnp.sum(diff * diff, axis=2)  # (G, R8)
-        cmps_new = cmps + jnp.sum(
-            cvalid.astype(jnp.int32), axis=1, keepdims=True
-        )
 
-        # ---- frontier-full cutoff (beamSearch.h:150-159) ----
-        worst = _at_lane(bdist, lane_f, L - 1)  # (G, 1)
-        cd = jnp.where(cvalid & (cd < worst), cd, _INF)
-        lane_r8 = jax.lax.broadcasted_iota(jnp.int32, (G, R8), 1)
-        cpack = jnp.where(cd < _INF, cid * 2 + 1,
-                          (n_valid + lane_r8) * 2 + 1)
-
-        # ---- dedup against the beam (hashless exactness argument in
-        # search/beam.py): a candidate already present in the beam is
-        # dropped, the beam copy (with its expanded flag) wins. Direct
-        # compare against the <= L live beam lanes costs ~L vector ops —
-        # half the price of the 28-stage id-sort it replaces. ----
-        if ablate != "fullsort":
-            bid = jax.lax.shift_right_logical(bpack, 1)
-            dup = jnp.zeros(cd.shape, bool)
-            for l in range(L):
-                dup = dup | (cid == bid[:, l:l + 1])
-            cd = jnp.where(dup, _INF, cd)
-            cpack = jnp.where(cd < _INF, cpack,
-                              (n_valid + lane_r8) * 2 + 1)
-            # sort candidates DESCENDING (ascending by negated key): INF
-            # slots land first, reals follow in decreasing distance —
-            # appended after the ascending beam this forms one bitonic
-            # sequence, so a single 7-stage merge finishes the job
-            negd, cpack_s = bitonic_sort(-cd, cpack, roll=_roll)
-            # concat puts the descending candidates in the TOP R8 lanes:
-            # [beam asc (<L) | +INF plateau | candidates desc] is bitonic
-            cdW = jnp.concatenate(
-                [jnp.full((G, W - R8), _INF), -negd], axis=1
+        if Rp != R8:
+            cd = jnp.concatenate(
+                [cd, jnp.full((G, Rp - R8), _INF)], axis=1
             )
-            cpW = jnp.concatenate(
-                [(n_valid + R8 + lane_i[:, : W - R8]) * 2 + 1, cpack_s],
-                axis=1,
+            cid = jnp.concatenate(
+                [cid, jnp.full((G, Rp - R8), -1, jnp.int32)], axis=1
             )
-        else:
-            cdW = jnp.concatenate(
-                [cd, jnp.full((G, W - R8), _INF)], axis=1
-            )
-            cpW = jnp.concatenate(
-                [cpack, (n_valid + R8 + lane_i[:, : W - R8]) * 2 + 1], axis=1
-            )
-            cdW = jnp.roll(cdW, L, axis=-1)
-            cpW = jnp.roll(cpW, L, axis=-1)
-        mdist = jnp.where(lane_i < L, bdist, cdW)
-        mpack = jnp.where(lane_i < L, bpack, cpW)
-        if ablate == "dmaonly":
-            obdist[sl, :] = mdist
-            obpack[sl, :] = mpack
-            onv[sl, :] = nv
-            ocmps[sl, :] = cmps_new
-            onext[sl, :] = exp_v
-            nxt_g0 = g + n_buf
+        cdbuf[sl, :] = cd
+        cibuf[sl, :] = cid
 
-            @pl.when(nxt_g0 < n_grp)
-            def _():
-                for j in range(G):
-                    dma(slot, nxt_g0, j).start()
+        nxt = g + n_buf
 
-            return 0
-        if ablate == "fullsort":
-            # reference variant: dedup by id-sort (expanded copy first),
-            # then re-sort by distance — 2 full bitonic sorts
-            spack, sdist = bitonic_sort(mpack, mdist, roll=_roll)
-            sid = jax.lax.shift_right_logical(spack, 1)
-            prev = jnp.roll(sid, 1, axis=-1)
-            dup2 = (lane_i > 0) & (sid == prev)
-            sdist = jnp.where(dup2, _INF, sdist)
-            ndist, npack = bitonic_sort(sdist, spack, roll=_roll)
-        else:
-            # dedup already done against the beam; one bitonic merge
-            # (log2 W stages) finishes ascending order
-            ndist, npack = bitonic_merge(mdist, mpack, roll=_roll)
-        ndist = jnp.where(lane_i < L, ndist, _INF)
-        npack = jnp.where(lane_i < L, npack, (n_valid + W + lane_i) * 2 + 1)
-
-        # ---- next expansion + cut-rule convergence (beamSearch.h:185) ----
-        unexp = ((npack & 1) == 1) & (ndist < _INF)
-        if k > 0 and metric.is_metric and k < L:
-            dk = _at_lane(ndist, lane_f, k)  # (G, 1)
-            thr = jnp.minimum(cut * dk, _INF)
-            workable = unexp & (ndist < thr)
-        else:
-            workable = unexp
-        has_work = jnp.max(
-            workable.astype(jnp.int32), axis=1, keepdims=True
-        ) > 0
-        nv_new = nv + exp_ok.astype(jnp.int32)
-        done_new = ~exp_ok | ~has_work | (nv_new >= limit)  # (G, 1)
-        first = jnp.min(
-            jnp.where(workable, lane_f, float(2 * W)), axis=1, keepdims=True
-        )
-        nid = jax.lax.shift_right_logical(npack, 1)
-        nxt = jnp.sum(
-            jnp.where(lane_f == first, nid, 0), axis=1, keepdims=True
-        ).astype(jnp.int32)
-        nxt = jnp.where(done_new, -1, nxt)
-        # mark the chosen entry expanded NOW (the packed bit flips) so the
-        # next step's kernel sees it as expanded
-        flip = (lane_f == first) & ~done_new
-        npack = npack - flip.astype(jnp.int32)
-
-        # frozen queries pass through unchanged
-        obdist[sl, :] = jnp.where(exp_ok, ndist, bdist)
-        obpack[sl, :] = jnp.where(exp_ok, npack, bpack)
-        onv[sl, :] = jnp.where(exp_ok, nv_new, nv)
-        ocmps[sl, :] = jnp.where(exp_ok, cmps_new, cmps)
-        onext[sl, :] = jnp.where(exp_ok, nxt, -1)
-
-        nxt_g = g + n_buf
-
-        @pl.when(nxt_g < n_grp)
+        @pl.when(nxt < n_grp)
         def _():
             for j in range(G):
-                dma(slot, nxt_g, j).start()
+                dma(slot, nxt, j).start()
 
         return 0
 
     jax.lax.fori_loop(0, n_grp, loop, 0)
 
+    # ---- phase B: block-wide beam algebra ----
+    bdist = bdist_ref[:]  # (block_b, Wb)
+    bpack = bpack_ref[:]
+    nv = nv_ref[:]  # (block_b, 1)
+    cmps = cmps_ref[:]
+    exp_ok = expv_ref[:] >= 0  # (block_b, 1)
+    cd = cdbuf[:]  # (block_b, Rp)
+    cid = cibuf[:]
+
+    if ablate == "dmaonly":
+        obdist[:] = bdist
+        obpack[:] = bpack
+        onv[:] = nv
+        ocmps[:] = cmps + jnp.sum(
+            ((cid >= 0) & (cid < n_valid)).astype(jnp.int32),
+            axis=1, keepdims=True,
+        )
+        onext[:] = expv_ref[:]
+        return
+
+    lane_wb = jax.lax.broadcasted_iota(jnp.int32, (block_b, Wb), 1)
+    lane_wb_f = lane_wb.astype(jnp.float32)
+    lane_rp = jax.lax.broadcasted_iota(jnp.int32, (block_b, Rp), 1)
+
+    cvalid = (cid >= 0) & (cid < n_valid) & exp_ok
+    cmps_new = cmps + jnp.sum(cvalid.astype(jnp.int32), axis=1, keepdims=True)
+
+    # frontier-full cutoff (beamSearch.h:150-159)
+    worst = _at_lane(bdist, lane_wb_f, L - 1)  # (block_b, 1)
+    cd = jnp.where(cvalid & (cd < worst), cd, _INF)
+
+    # dedup against the beam (hashless exactness argument in
+    # search/beam.py): a candidate already present in the beam is
+    # dropped, the beam copy (with its expanded flag) wins. Direct
+    # compare against the <= L live beam lanes costs ~L vector ops —
+    # half the price of the id-sort it replaces.
+    bid = jax.lax.shift_right_logical(bpack, 1)
+    dup = jnp.zeros(cd.shape, bool)
+    for l in range(Wb):
+        dup = dup | (cid == bid[:, l:l + 1])
+    cd = jnp.where(dup, _INF, cd)
+    cpack = jnp.where(cd < _INF, cid * 2 + 1, (n_valid + lane_rp) * 2 + 1)
+
+    # sort candidates DESCENDING (ascending by negated key): the Wb
+    # smallest candidates land in the LAST lanes, in decreasing order
+    negd, cpack_s = bitonic_sort(-cd, cpack)
+    c_take = min(Wb, Rp)
+    cdp = -negd[:, Rp - c_take:]  # (block_b, c_take) smallest, descending
+    cpp = cpack_s[:, Rp - c_take:]
+    # [beam asc (Wb) | +INF plateau | candidates desc (c_take)] is one
+    # bitonic sequence of 2*Wb lanes; a single log2(2*Wb)-stage merge
+    # finishes ascending order
+    pad = Wb - c_take
+    parts_d = [bdist]
+    parts_p = [bpack]
+    if pad:
+        lane_pad = jax.lax.broadcasted_iota(jnp.int32, (block_b, pad), 1)
+        parts_d.append(jnp.full((block_b, pad), _INF))
+        parts_p.append((n_valid + Rp + lane_pad) * 2 + 1)
+    parts_d.append(cdp)
+    parts_p.append(cpp)
+    mdist = jnp.concatenate(parts_d, axis=1)  # (block_b, 2*Wb)
+    mpack = jnp.concatenate(parts_p, axis=1)
+    ndist, npack = bitonic_merge(mdist, mpack)
+    ndist = ndist[:, :Wb]
+    npack = npack[:, :Wb]
+    ndist = jnp.where(lane_wb < L, ndist, _INF)
+    npack = jnp.where(lane_wb < L, npack, (n_valid + 2 * Rp + lane_wb) * 2 + 1)
+
+    # ---- next expansion + cut-rule convergence (beamSearch.h:185) ----
+    unexp = ((npack & 1) == 1) & (ndist < _INF)
+    if k > 0 and metric.is_metric and k < L:
+        dk = _at_lane(ndist, lane_wb_f, k)  # (block_b, 1)
+        thr = jnp.minimum(cut * dk, _INF)
+        workable = unexp & (ndist < thr)
+    else:
+        workable = unexp
+    has_work = jnp.max(
+        workable.astype(jnp.int32), axis=1, keepdims=True
+    ) > 0
+    nv_new = nv + exp_ok.astype(jnp.int32)
+    done_new = ~exp_ok | ~has_work | (nv_new >= limit)  # (block_b, 1)
+    first = jnp.min(
+        jnp.where(workable, lane_wb_f, float(2 * Wb)), axis=1, keepdims=True
+    )
+    nid = jax.lax.shift_right_logical(npack, 1)
+    nxt = jnp.sum(
+        jnp.where(lane_wb_f == first, nid, 0), axis=1, keepdims=True
+    ).astype(jnp.int32)
+    nxt = jnp.where(done_new, -1, nxt)
+    # mark the chosen entry expanded NOW (the packed bit flips) so the
+    # next step's kernel sees it as expanded
+    flip = (lane_wb_f == first) & ~done_new
+    npack = npack - flip.astype(jnp.int32)
+
+    # frozen queries pass through unchanged
+    obdist[:] = jnp.where(exp_ok, ndist, bdist)
+    obpack[:] = jnp.where(exp_ok, npack, bpack)
+    onv[:] = jnp.where(exp_ok, nv_new, nv)
+    ocmps[:] = jnp.where(exp_ok, cmps_new, cmps)
+    onext[:] = jnp.where(exp_ok, nxt, -1)
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("R8", "d", "W", "L", "k", "n_valid", "metric",
+    static_argnames=("R8", "Rp", "d", "Wb", "L", "k", "n_valid", "metric",
                      "cut", "limit", "block_b", "G", "n_buf", "interpret",
                      "ablate"),
 )
 def fused_step(
     exp_ids,  # (B,) int32 (-1 = frozen)
     queries,  # (B, d) f32
-    bdist,  # (B, W) f32
-    bpack,  # (B, W) int32
+    bdist,  # (B, Wb) f32
+    bpack,  # (B, Wb) int32
     nv,  # (B, 1) int32
     cmps,  # (B, 1) int32
     inline_ext,  # (n_pad, R8 + 8, d) int8
-    *, R8, d, W, L, k, n_valid, metric, cut, limit,
+    *, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit,
     block_b=256, G=8, n_buf=8, interpret=False, ablate="full",
 ):
     B = queries.shape[0]
@@ -306,7 +317,7 @@ def fused_step(
         interpret = True
     block_b = max(G, min(block_b, B))
     kernel = functools.partial(
-        _step_kernel, R8=R8, d=d, W=W, L=L, k=k, n_valid=n_valid,
+        _step_kernel, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
         metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
         n_buf=n_buf, ablate=ablate,
     )
@@ -322,18 +333,21 @@ def fused_step(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                bspec(d), bspec(W), bspec(W), bspec(1), bspec(1), bspec(1),
+                bspec(d), bspec(Wb), bspec(Wb), bspec(1), bspec(1), bspec(1),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[bspec(W), bspec(W), bspec(1), bspec(1), bspec(1)],
+            out_specs=[bspec(Wb), bspec(Wb), bspec(1), bspec(1), bspec(1)],
             scratch_shapes=[
-                pltpu.VMEM((n_buf, G, R8 + 8, d), inline_ext.dtype),
+                pltpu.VMEM((n_buf, G, inline_ext.shape[1], d),
+                           inline_ext.dtype),
                 pltpu.SemaphoreType.DMA((n_buf, G)),
+                pltpu.VMEM((block_b, Rp), jnp.float32),
+                pltpu.VMEM((block_b, Rp), jnp.int32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, W), jnp.float32),
-            jax.ShapeDtypeStruct((B, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, Wb), jnp.float32),
+            jax.ShapeDtypeStruct((B, Wb), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -371,15 +385,15 @@ def beam_search_fused(
     """
     B0, d = queries.shape
     R8 = inline_ext.shape[1] - 8
-    W = 1
-    while W < L + R8:
-        W *= 2
+    Rp = _pow2(R8)
+    Wb = _pow2(max(L, 8))
     limit = min(limit, n_valid)
     max_steps = max_steps or limit
 
     if starts.ndim == 1:
         starts = jnp.broadcast_to(starts[None, :], (B0, starts.shape[0]))
     S = starts.shape[1]
+    Ws = max(Wb, _pow2(S))
 
     # pad the batch to a block multiple: unprocessed tail rows would feed
     # garbage expand ids (= DMA addresses) into the next step
@@ -405,12 +419,12 @@ def beam_search_fused(
     sids = jnp.where(
         sv, starts, n_valid + jnp.arange(S, dtype=jnp.int32)[None, :]
     )
-    lane = jnp.arange(W, dtype=jnp.int32)[None, :]
+    lane = jnp.arange(Ws, dtype=jnp.int32)[None, :]
     bdist = jnp.concatenate(
-        [sd, jnp.full((B, W - S), _INF)], axis=1
+        [sd, jnp.full((B, Ws - S), _INF)], axis=1
     )
     sent = jnp.broadcast_to(
-        (n_valid + S + lane[:, : W - S]) * 2 + 1, (B, W - S)
+        (n_valid + S + lane[:, : Ws - S]) * 2 + 1, (B, Ws - S)
     )
     bpack = jnp.concatenate([sids * 2 + 1, sent], axis=1)
     bdist, bpack = jax.lax.sort((bdist, bpack), num_keys=1, is_stable=True)
@@ -421,6 +435,12 @@ def beam_search_fused(
     )
     bdist = jnp.where(dup0, _INF, bdist)
     bdist, bpack = jax.lax.sort((bdist, bpack), num_keys=1, is_stable=True)
+    bdist = bdist[:, :Wb]
+    bpack = bpack[:, :Wb]
+    lane = lane[:, :Wb]
+    # enforce the lanes >= L invariant the kernel maintains
+    bdist = jnp.where(lane < L, bdist, _INF)
+    bpack = jnp.where(lane < L, bpack, (n_valid + Ws + lane) * 2 + 1)
 
     nv = jnp.zeros((B, 1), jnp.int32)
     cmps = jnp.sum(sv, axis=1, dtype=jnp.int32).reshape(B, 1)
@@ -444,7 +464,7 @@ def beam_search_fused(
     exp_ids, bpack = select_first(bdist, bpack, nv)
 
     step = functools.partial(
-        fused_step, R8=R8, d=d, W=W, L=L, k=k, n_valid=n_valid,
+        fused_step, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
         metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
         n_buf=n_buf,
     )
@@ -463,8 +483,13 @@ def beam_search_fused(
     _, _, bdist, bpack, nv, cmps = jax.lax.while_loop(
         cond, body, (jnp.int32(0), exp_ids, bdist, bpack, nv, cmps)
     )
+    Lc = min(L, Wb)
     out_ids = jnp.where(
-        bdist[:, :L] < _INF,
-        jax.lax.shift_right_logical(bpack[:, :L], 1), -1
+        bdist[:, :Lc] < _INF,
+        jax.lax.shift_right_logical(bpack[:, :Lc], 1), -1
     )
-    return (out_ids[:B0], bdist[:B0, :L], nv[:B0, 0], cmps[:B0, 0])
+    out_d = bdist[:, :Lc]
+    if Lc < L:
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, L - Lc)), constant_values=-1)
+        out_d = jnp.pad(out_d, ((0, 0), (0, L - Lc)), constant_values=_INF)
+    return (out_ids[:B0], out_d[:B0], nv[:B0, 0], cmps[:B0, 0])
