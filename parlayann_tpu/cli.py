@@ -136,6 +136,22 @@ def main(argv=None):
         return 0
     Q = PointSet.from_file(args.query_path, dtype=dtype, metric=metric,
                            normalize=args.normalize).to_numpy()
+
+    if args.range_:
+        # query-driven range track: sweep initial beams and print the
+        # per-beam pointwise/cumulative recall + QPS table
+        # (check_range_recall.h:67-84, vamanaRange/range.h:40-69)
+        from parlayann_tpu.harness.range_sweep import range_search_wrapper
+
+        rgt = io.read_range_ibin(args.gt_path) if args.gt_path else [
+            np.zeros(0, np.int32) for _ in range(len(Q))
+        ]
+        range_search_wrapper(
+            Q, ps.data, graph.neighbors, graph.degrees, rgt, args.radius,
+            metric=metric, n_valid=ps.n, verbose=True,
+        )
+        return 0
+
     gt_ids = gt_dists = None
     if args.gt_path:
         gt_ids, gt_dists = io.read_ibin(args.gt_path)

@@ -47,6 +47,10 @@ class Index:
     jl_tier: Optional[object] = None  # quantize.JLTier
     t2_points: Optional[PointSet] = None  # ternary 2-bit MIPS tier
     t4_points: Optional[PointSet] = None  # packed int4 MIPS tier
+    # extended inline rows (n, R8+8, d) int8 for the fully-fused beam
+    # kernel (ops/pallas/fusedbeam.py): neighbor vectors + id byte planes
+    inline_ext: Optional[object] = None
+    use_fused: bool = True
 
     @staticmethod
     def load(
@@ -125,6 +129,30 @@ class Index:
                 return None
             self.inline = build_inline(src.data, self.graph.neighbors)
         return self.inline
+
+    def build_inline_ext_cache(self, hbm_budget_bytes: int = 6 << 30):
+        """Extended inline rows for the fused beam kernel
+        (ops/pallas/fusedbeam.py). Eligibility: an int8 tier (the ext row
+        stores int8 vectors) and d >= R8 (the id byte planes live in the
+        vector lanes). Returns None (hybrid path) otherwise or when the
+        (n, R8+8, d) layout would not fit the HBM budget."""
+        from parlayann_tpu.ops.pallas.fusedbeam import build_inline_ext
+
+        if self.inline_ext is not None:
+            return self.inline_ext
+        src = self.qpoints
+        if src is None or not self.use_fused:
+            return None
+        R8 = (self.graph.max_degree + 7) // 8 * 8
+        if src.d < R8 or src.data.dtype != jnp.int8:
+            return None
+        est = src.data.shape[0] * (R8 + 8) * src.d
+        if est > hbm_budget_bytes:
+            return None
+        self.inline_ext = build_inline_ext(
+            src.data, self.graph.neighbors, self.graph.degrees
+        )
+        return self.inline_ext
 
     def build_inline_bits_cache(self, src: PointSet):
         """Packed-word inline cache for the 1-bit tiers (n, R, W) uint32 —
@@ -209,13 +237,45 @@ class Index:
             q = quantize.mips_4bit_translate_query(q_full, ps)
             bits, search_k = 4, k
         else:
-            # full / q8 tier: the fused single-dispatch path
+            # full / q8 tier. Preferred: the fully-fused Pallas beam-step
+            # kernel (one dispatch per hop, block-wide merges, straggler
+            # compaction ladder — ops/pallas/fusedbeam.py); falls back to
+            # the hybrid XLA+expand path when the config is ineligible
+            # (no int8 tier, d < R8, multi-expand, or bit tiers).
+            L = max(qp.beamSize, k)
+            B = q_full.shape[0]
+            ext = (
+                self.build_inline_ext_cache()
+                if (self.use_fused and expand == 1
+                    and qp.degree_limit >= self.graph.max_degree) else None
+            )
+            if ext is not None:
+                from parlayann_tpu.ops.pallas.fusedbeam import (
+                    beam_search_fused,
+                )
+                from parlayann_tpu.search.fused import FusedResult
+
+                tier = self.qpoints
+                q_t = quantize.translate_query(q_full, tier).astype(
+                    jnp.float32
+                )
+                fid, fdist, nv, cmps, n_left = beam_search_fused(
+                    q_t, tier.data, ext, start_arr,
+                    metric=tier.metric, n_valid=tier.n, k=k, L=L,
+                    cut=qp.cut, limit=qp.limit,
+                )
+                pool = min(max(k * rerank_factor, k), L)
+                ids, dists = rerank_topk(
+                    q_full.astype(jnp.float32), self.points.data, fid,
+                    k=k, pool=pool, metric=self.points.metric,
+                )
+                res = FusedResult(ids, dists, nv, cmps, n_left)
+                return ids, dists, res
+
             from parlayann_tpu.search.fused import fused_search
 
             ps = self.qpoints if self.qpoints is not None else self.points
             inline = self.build_inline_cache() if self.use_inline else None
-            L = max(qp.beamSize, k)
-            B = q_full.shape[0]
             use_tp = two_phase and B >= 2048 and qp.limit > 2 * L
             cw = 256
             while cw < B // 4:

@@ -132,23 +132,84 @@ def _step_kernel(
     bi = pl.program_id(0)
     n_grp = block_b // G
 
+    # a fully-frozen block (every exp id < 0) skips all work and copies its
+    # state through: after driver-side compaction the frozen tail of the
+    # batch costs only the block I/O
+    n_active = jnp.sum((expv_ref[:] >= 0).astype(jnp.int32))
+
     def dma(slot, g, j):
         v = exp_ref[bi * block_b + g * G + j]
         # clamp hard: an out-of-range address faults the TPU worker
-        v = jnp.clip(v, 0, inline_hbm.shape[0] - 1)
-        return pltpu.make_async_copy(
-            inline_hbm.at[v], vmem.at[slot, j], sems.at[slot, j],
+        vc = jnp.clip(v, 0, inline_hbm.shape[0] - 1)
+        return v, pltpu.make_async_copy(
+            inline_hbm.at[vc], vmem.at[slot, j], sems.at[slot, j],
         )
 
+    import os
+    # experiment knobs, captured at trace time (A/B only; defaults ship)
+    _prio = os.environ.get("PARLAYANN_DMA_PRIO", "0") == "1"
+    _cond = os.environ.get("PARLAYANN_DMA_COND", "1") == "1"
+
+    def dma_start(slot, g, j):
+        # frozen queries (exp id -1) issue no DMA: the wait site reads the
+        # same prefetched scalar, so start/wait predicates always agree
+        v, cp = dma(slot, g, j)
+        kw = {"priority": j % 2} if _prio else {}
+        if not _cond:
+            cp.start(**kw)
+            return
+
+        @pl.when(v >= 0)
+        def _():
+            cp.start(**kw)
+
+    def dma_wait(slot, g, j):
+        v, cp = dma(slot, g, j)
+        if not _cond:
+            cp.wait()
+            return
+
+        @pl.when(v >= 0)
+        def _():
+            cp.wait()
+
+    @pl.when(n_active == 0)
+    def _():
+        obdist[:] = bdist_ref[:]
+        obpack[:] = bpack_ref[:]
+        onv[:] = nv_ref[:]
+        ocmps[:] = cmps_ref[:]
+        onext[:] = expv_ref[:]
+
+    @pl.when(n_active > 0)
+    def _active_block():
+        _step_body(
+            exp_ref, q_ref, bdist_ref, bpack_ref, nv_ref, cmps_ref, expv_ref,
+            inline_hbm, obdist, obpack, onv, ocmps, onext,
+            vmem, sems, cdbuf, cibuf, dma_start, dma_wait,
+            R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
+            metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
+            n_buf=n_buf, ablate=ablate,
+        )
+
+
+def _step_body(
+    exp_ref, q_ref, bdist_ref, bpack_ref, nv_ref, cmps_ref, expv_ref,
+    inline_hbm, obdist, obpack, onv, ocmps, onext,
+    vmem, sems, cdbuf, cibuf, dma_start, dma_wait,
+    *, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit, block_b, G, n_buf,
+    ablate,
+):
+    n_grp = block_b // G
     for s in range(n_buf):
         for j in range(G):
-            dma(s, s, j).start()
+            dma_start(s, s, j)
 
     # ---- phase A: per-group DMA + row-local compute -> block scratch ----
     def loop(g, _):
         slot = jax.lax.rem(g, n_buf)
         for j in range(G):
-            dma(slot, g, j).wait()
+            dma_wait(slot, g, j)
         rows = vmem[slot]  # (G, R8 + 8, d) int8
         sl = pl.ds(g * G, G)
         q = q_ref[sl, :]  # (G, d) f32
@@ -164,12 +225,24 @@ def _step_kernel(
         cid = jnp.where(lane_d < R8, cid_d, -1)[:, :R8]
 
         # candidate distances
-        vecs = rows[:, :R8, :].astype(jnp.float32)  # (G, R8, d)
-        if metric is Metric.MIPS:
-            cd = -jnp.sum(vecs * q[:, None, :], axis=2)
+        if ablate == "nocompute":
+            cd = jnp.zeros((G, R8), jnp.float32)
         else:
-            diff = vecs - q[:, None, :]
-            cd = jnp.sum(diff * diff, axis=2)  # (G, R8)
+            vecs = rows[:, :R8, :].astype(jnp.float32)  # (G, R8, d)
+            if metric is Metric.MIPS:
+                prod = vecs * q[:, None, :]
+            else:
+                diff = vecs - q[:, None, :]
+                prod = diff * diff
+            # contract d on the MXU (ones-matvec): a (G*R8, d) @ (d, 1)
+            # matmul is ~3x cheaper than the VPU's log2(d) lane-reduce
+            cd = jax.lax.dot_general(
+                prod.reshape(G * R8, d), jnp.ones((d, 1), jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(G, R8)
+            if metric is Metric.MIPS:
+                cd = -cd
 
         if Rp != R8:
             cd = jnp.concatenate(
@@ -186,7 +259,7 @@ def _step_kernel(
         @pl.when(nxt < n_grp)
         def _():
             for j in range(G):
-                dma(slot, nxt, j).start()
+                dma_start(slot, nxt, j)
 
         return 0
 
@@ -201,7 +274,7 @@ def _step_kernel(
     cd = cdbuf[:]  # (block_b, Rp)
     cid = cibuf[:]
 
-    if ablate == "dmaonly":
+    if ablate in ("dmaonly", "nocompute"):
         obdist[:] = bdist
         obpack[:] = bpack
         onv[:] = nv
@@ -360,7 +433,7 @@ def fused_step(
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "n_valid", "k", "L", "cut", "limit",
-                     "max_steps", "block_b", "G", "n_buf"),
+                     "max_steps", "block_b", "G", "n_buf", "compact"),
 )
 def beam_search_fused(
     queries,  # (B, d) — queries in the TIER's domain, f32 values
@@ -378,10 +451,20 @@ def beam_search_fused(
     block_b: int = 256,
     G: int = 8,
     n_buf: int = 8,
+    compact: bool = True,
 ):
     """Drive ``fused_step`` to convergence -> (beam_ids (B, L) int32,
-    beam_dists (B, L) f32, num_visited, dist_cmps). The while loop runs
-    whole kernel steps; per-query freezing happens inside the kernel.
+    beam_dists (B, L) f32, num_visited, dist_cmps, n_left). The while loop
+    runs whole kernel steps; per-query freezing happens inside the kernel.
+
+    ``compact``: straggler compaction ladder. The lock-step batch pays its
+    slowest query, so after a step budget the still-active queries are
+    sorted to the front and the loop resumes on a 4x (then 16x) narrower
+    static slice (the same economics as search/fused.py's two-phase
+    compaction; dynamic shapes are not expressible under jit, hence the
+    static ladder). ``n_left`` counts queries still unconverged at the
+    end — nonzero only if more than B/16 queries outlast both budgets
+    (visible, not a silent cap; raise L or the budgets if it matters).
     """
     B0, d = queries.shape
     R8 = inline_ext.shape[1] - 8
@@ -463,33 +546,90 @@ def beam_search_fused(
 
     exp_ids, bpack = select_first(bdist, bpack, nv)
 
-    step = functools.partial(
-        fused_step, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
-        metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
-        n_buf=n_buf,
-    )
+    def blocks(w):
+        return max(G, min(block_b, w))
 
-    def cond(state):
-        t, exp_ids, *_ = state
-        return (t < max_steps) & jnp.any(exp_ids >= 0)
-
-    def body(state):
-        t, exp_ids, bdist, bpack, nv, cmps = state
-        bdist, bpack, nv, cmps, nxt = step(
-            exp_ids, queries, bdist, bpack, nv, cmps, inline_ext
+    def run_stage(width, budget, exp_ids, q, bdist, bpack, nv, cmps):
+        step = functools.partial(
+            fused_step, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
+            metric=metric, cut=cut, limit=limit, block_b=blocks(width), G=G,
+            n_buf=n_buf,
         )
-        return (t + 1, nxt[:, 0], bdist, bpack, nv, cmps)
 
-    _, _, bdist, bpack, nv, cmps = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), exp_ids, bdist, bpack, nv, cmps)
-    )
-    Lc = min(L, Wb)
+        def cond(state):
+            t, e, *_ = state
+            return (t < budget) & jnp.any(e >= 0)
+
+        def body(state):
+            t, e, bd, bp, nvv, cm = state
+            bd, bp, nvv, cm, nxt = step(e, q, bd, bp, nvv, cm, inline_ext)
+            return (t + 1, nxt[:, 0], bd, bp, nvv, cm)
+
+        _, exp_ids, bdist, bpack, nv, cmps = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), exp_ids, bdist, bpack, nv, cmps)
+        )
+        return exp_ids, bdist, bpack, nv, cmps
+
+    if compact and B >= 4 * block_b and max_steps > L + 8:
+        ladder = [
+            (B, L + 8),
+            (max(block_b, ((B // 4 + block_b - 1) // block_b) * block_b),
+             2 * L + 16),
+            (max(block_b, ((B // 16 + block_b - 1) // block_b) * block_b),
+             max_steps),
+        ]
+        # drop degenerate (non-shrinking) stages
+        ladder = [s for i, s in enumerate(ladder)
+                  if i == 0 or s[0] < ladder[i - 1][0]]
+        ladder[-1] = (ladder[-1][0], max_steps)
+    else:
+        ladder = [(B, max_steps)]
+
+    order = jnp.arange(B, dtype=jnp.int32)
+    q_cur = queries
+    for i, (w, budget) in enumerate(ladder):
+        if i > 0:
+            # stable sort: still-active queries to the front
+            key = (exp_ids < 0).astype(jnp.int32)
+            _, perm = jax.lax.sort(
+                (key, jnp.arange(B, dtype=jnp.int32)), num_keys=1,
+                is_stable=True,
+            )
+            exp_ids = jnp.take(exp_ids, perm, axis=0)
+            bdist = jnp.take(bdist, perm, axis=0)
+            bpack = jnp.take(bpack, perm, axis=0)
+            nv = jnp.take(nv, perm, axis=0)
+            cmps = jnp.take(cmps, perm, axis=0)
+            q_cur = jnp.take(q_cur, perm, axis=0)
+            order = jnp.take(order, perm, axis=0)
+        if w == B:
+            exp_ids, bdist, bpack, nv, cmps = run_stage(
+                w, budget, exp_ids, q_cur, bdist, bpack, nv, cmps
+            )
+        else:
+            e_s, bd_s, bp_s, nv_s, cm_s = run_stage(
+                w, budget, exp_ids[:w], q_cur[:w], bdist[:w], bpack[:w],
+                nv[:w], cmps[:w],
+            )
+            exp_ids = exp_ids.at[:w].set(e_s)
+            bdist = bdist.at[:w].set(bd_s)
+            bpack = bpack.at[:w].set(bp_s)
+            nv = nv.at[:w].set(nv_s)
+            cmps = cmps.at[:w].set(cm_s)
+
+    n_left = jnp.sum((exp_ids >= 0) & (order < B0)).astype(jnp.int32)
+    if len(ladder) > 1:
+        # un-permute back to caller order
+        _, inv = jax.lax.sort(
+            (order, jnp.arange(B, dtype=jnp.int32)), num_keys=1
+        )
+        bdist = jnp.take(bdist, inv, axis=0)
+        bpack = jnp.take(bpack, inv, axis=0)
+        nv = jnp.take(nv, inv, axis=0)
+        cmps = jnp.take(cmps, inv, axis=0)
+
     out_ids = jnp.where(
-        bdist[:, :Lc] < _INF,
-        jax.lax.shift_right_logical(bpack[:, :Lc], 1), -1
+        bdist[:, :L] < _INF,
+        jax.lax.shift_right_logical(bpack[:, :L], 1), -1
     )
-    out_d = bdist[:, :Lc]
-    if Lc < L:
-        out_ids = jnp.pad(out_ids, ((0, 0), (0, L - Lc)), constant_values=-1)
-        out_d = jnp.pad(out_d, ((0, 0), (0, L - Lc)), constant_values=_INF)
-    return (out_ids[:B0], out_d[:B0], nv[:B0, 0], cmps[:B0, 0])
+    return (out_ids[:B0], bdist[:B0, :L], nv[:B0, 0], cmps[:B0, 0], n_left)

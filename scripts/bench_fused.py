@@ -124,7 +124,7 @@ def main():
             Lq = max(beam, k)
 
             def run():
-                fid, fdist, nv, cmps = beam_search_fused(
+                fid, fdist, nv, cmps, n_left = beam_search_fused(
                     q_t, idx.qpoints.data, ext, starts,
                     metric=Metric.L2, n_valid=ps.n, k=k, L=Lq,
                     limit=ps.n, block_b=block_b, G=G, n_buf=n_buf,

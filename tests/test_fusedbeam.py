@@ -55,9 +55,21 @@ def test_fused_beam_matches_xla(rng):
         metric=Metric.L2, n_valid=n, k=k, L=L, use_inline=False,
     )
     inline_ext = build_inline_ext(qps.data, nbrs, degs)
-    fid, fdist, fnv, fcmps = beam_search_fused(
+    fid, fdist, fnv, fcmps, n_left = beam_search_fused(
         q_t, qps.data, inline_ext, starts,
         metric=Metric.L2, n_valid=n, k=k, L=L, G=8, block_b=48,
+    )
+    assert int(n_left) == 0
+    # compaction ladder (block_b=8 -> 3 stages on B=48): same result
+    cid_, cdist_, cnv_, ccmps_, cleft = beam_search_fused(
+        q_t, qps.data, inline_ext, starts,
+        metric=Metric.L2, n_valid=n, k=k, L=L, G=8, block_b=8, compact=True,
+    )
+    assert int(cleft) == 0
+    np.testing.assert_array_equal(np.asarray(cnv_), np.asarray(fnv))
+    np.testing.assert_allclose(
+        np.where(np.asarray(cdist_) > 1e37, 0, np.asarray(cdist_)),
+        np.where(np.asarray(fdist) > 1e37, 0, np.asarray(fdist)), rtol=1e-5,
     )
     rd, fd = np.asarray(ref.beam_dists), np.asarray(fdist)
     ri, fi = np.asarray(ref.beam_ids), np.asarray(fid)

@@ -53,3 +53,47 @@ def test_self_join(rng):
     assert cmps > 0
     pw, cum = range_recall(reported, gt)
     assert cum >= 0.75, (pw, cum)
+
+
+def test_range_sweep_wrapper(rng, tmp_path):
+    """Reference-format sweep table (check_range_recall.h:67-84): recall
+    rises (weakly) with the initial beam; rows carry QPS and cmps."""
+    from parlayann_tpu.harness.range_sweep import range_search_wrapper
+
+    X, ps, g = _setup(rng)
+    Q = rng.standard_normal((25, 12)).astype(np.float32)
+    rad = float(np.quantile(((X[:200, None] - Q[None, :5]) ** 2).sum(-1), 0.01))
+    gt = exact.compute_range_groundtruth(ps, Q, rad)
+    rows = range_search_wrapper(
+        Q, ps.data, g.neighbors, g.degrees, gt, rad,
+        beams=(10, 20, 45), metric=Metric.L2, n_valid=ps.n, verbose=False,
+    )
+    assert [r.initial_beam for r in rows] == [10, 20, 45]
+    cums = [r.cumulative_recall for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(cums, cums[1:])), cums
+    assert cums[-1] >= 0.8, cums
+    assert all(r.QPS > 0 and r.avg_cmps > 0 for r in rows)
+
+
+def test_cli_range_track(rng, tmp_path):
+    """-range (non-self) prints the per-beam table from files on disk."""
+    from parlayann_tpu.data import io as pio
+    from parlayann_tpu import cli
+
+    X, ps, g = _setup(rng, n=400)
+    Q = rng.standard_normal((10, 12)).astype(np.float32)
+    rad = float(np.quantile(((X[:100, None] - Q[None, :5]) ** 2).sum(-1), 0.02))
+    gt = exact.compute_range_groundtruth(ps, Q, rad)
+    base = str(tmp_path / "b.fbin")
+    qf = str(tmp_path / "q.fbin")
+    gtf = str(tmp_path / "gt.rbin")
+    gf = str(tmp_path / "g.graph")
+    pio.write_bin(base, X)
+    pio.write_bin(qf, Q)
+    pio.write_range_ibin(gtf, gt)
+    g.save(gf)
+    rc = cli.main([
+        "-base_path", base, "-query_path", qf, "-gt_path", gtf,
+        "-graph_path", gf, "-range", "-radius", str(rad),
+    ])
+    assert rc == 0
