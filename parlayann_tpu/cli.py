@@ -43,6 +43,10 @@ def make_parser() -> argparse.ArgumentParser:
     a("-two_pass", type=int, default=0)
     a("-single_batch", type=int, default=0)
     a("-quantize_bits", type=int, default=0)
+    a("-quantize", type=int, default=0, choices=range(6),
+      help="two-level quantize mode (vamana/neighbors.h:117-186): 1=q8; "
+           "Euclidian: 2=+1-bit tier, 3=+JL-sparse-1024; mips: 2=+1-bit, "
+           "3=+2-bit ternary, 4=+JL-bit-512, 5=+JL-sparse-1500")
     a("-m_l", type=float, default=0.0)
     a("-num_clusters", type=int, default=0)
     a("-cluster_size", type=int, default=0)
@@ -89,6 +93,15 @@ def main(argv=None):
         verbose=args.verbose,
     )
 
+    # -quantize != 0 also quantizes the BUILD to one byte
+    # ("quantizing build and first pass of search to 1 byte",
+    # vamana/neighbors.h:118-119)
+    build_ps = ps
+    if args.quantize and ps.data.dtype == np.float32:
+        from parlayann_tpu.ops import quantize as _q
+
+        build_ps = _q.quantize_pointset(ps, bits=8, trim=args.trim)
+
     t0 = time.perf_counter()
     alg = bp.alg_type
     if args.graph_path:
@@ -98,7 +111,7 @@ def main(argv=None):
         if alg == "vamana":
             from parlayann_tpu.build.vamana import build_vamana_graph
 
-            graph, _ = build_vamana_graph(ps, bp, verbose=args.verbose)
+            graph, _ = build_vamana_graph(build_ps, bp, verbose=args.verbose)
         elif alg == "HCNNG":
             from parlayann_tpu.build.hcnng import build_hcnng_graph
 
@@ -157,7 +170,26 @@ def main(argv=None):
         gt_ids, gt_dists = io.read_ibin(args.gt_path)
 
     idx = Index(points=ps, graph=graph)
-    if args.quantize_bits:
+    if args.quantize:
+        # two-level tier dispatch (vamana/neighbors.h:117-186): level 1 is
+        # always the 1-byte scalar tier; modes >= 2 add the aggressive
+        # search tier (search on it, rerank at full precision)
+        idx.enable_quantized(bits=8, trim=args.trim)
+        if metric is Metric.L2:
+            if args.quantize == 2:  # Euclidean_Bit_Point
+                idx.enable_bit_tier()
+            elif args.quantize == 3:  # Euclidean_JL_Sparse_Point<1024>
+                idx.enable_jl(jl_dims=1024, bits=8, sparse_nnz=6)
+        else:
+            if args.quantize == 2:  # Mips_Bit_Point
+                idx.enable_bit_tier()
+            elif args.quantize == 3:  # Mips_2Bit_Point
+                idx.enable_mips_2bit()
+            elif args.quantize == 4:  # Mips_JL_Bit_Point<512>
+                idx.enable_jl(jl_dims=512, bits=1)
+            elif args.quantize == 5:  # Mips_JL_Sparse_Point<1500>
+                idx.enable_jl(jl_dims=1500, bits=8, sparse_nnz=6)
+    elif args.quantize_bits:
         idx.enable_quantized(bits=args.quantize_bits, trim=args.trim)
 
     if args.Q:

@@ -56,3 +56,29 @@ def test_tools_roundtrip(tmp_path, rng):
     sampf = str(tmp_path / "s.fbin")
     random_sample.main([out, sampf, "-n", "5"])
     assert io.read_bin(sampf).shape == (5, 6)
+
+
+def test_cli_quantize_modes(tmp_path, rng):
+    """-quantize 1..3 (Euclidian) and 3..4 (mips) dispatch the two-level
+    tiers exactly as vamana/neighbors.h:117-186."""
+    base = str(tmp_path / "b.fbin")
+    qf = str(tmp_path / "q.fbin")
+    gt = str(tmp_path / "gt.ibin")
+    gout = str(tmp_path / "g.graph")
+    io.write_bin(base, rng.standard_normal((500, 16)).astype(np.float32))
+    io.write_bin(qf, rng.standard_normal((20, 16)).astype(np.float32))
+    compute_groundtruth.main(
+        ["-base_path", base, "-query_path", qf, "-gt_path", gt, "-k", "10"]
+    )
+    # build once, reuse the graph across modes
+    rc = cli.main(["-base_path", base, "-R", "12", "-L", "24",
+                   "-alpha", "1.2", "-graph_outfile", gout])
+    assert rc == 0
+    for dist, modes in (("Euclidian", (1, 2, 3)), ("mips", (3, 4))):
+        for mode in modes:
+            rc = cli.main(
+                ["-base_path", base, "-query_path", qf, "-gt_path", gt,
+                 "-graph_path", gout, "-dist_func", dist,
+                 "-quantize", str(mode), "-Q", "24"]
+            )
+            assert rc == 0, (dist, mode)
