@@ -63,6 +63,11 @@ class Level:
     nbrs: jax.Array  # (ml_pad, cap) LOCAL ids
     degs: jax.Array  # (ml_pad,)
     cap: int
+    # device twins of the id maps: the build loop and the fused search
+    # descent stay device-resident (no per-level host readbacks — each one
+    # was a fenced relay round-trip, the round-2 HNSW bottleneck)
+    members_d: jax.Array = None  # (ml_pad,) global ids
+    glob2loc_d: jax.Array = None  # (n,)
 
 
 @dataclasses.dataclass
@@ -75,6 +80,8 @@ class HNSWIndex:
     alpha: float
     m_l: float
 
+    _bidx: Optional[object] = None  # lazy base-graph Index (q8 + inline ext)
+
     @property
     def max_level(self) -> int:
         return len(self.levels) - 1
@@ -84,32 +91,70 @@ class HNSWIndex:
         return int(self.entrances[0])
 
     # ---------------- search (HNSW.hpp:1570-1613) ----------------
+    def _base_index(self):
+        """Lazy Index over the level-0 graph: q8 tier + extended inline
+        rows feed the fused Pallas beam kernel; rerank restores
+        precision."""
+        if self._bidx is None:
+            from parlayann_tpu.index import Index
+
+            self._bidx = Index(
+                points=self.points, graph=self.base_graph()
+            ).enable_quantized(bits=8)
+        return self._bidx
+
     def batch_search(self, queries, k: int = 10, ef: int = 64,
                      cut: float = 1.35, expand: int = 1):
         q = as_device(queries)
         B = q.shape[0]
         # greedy descent ef=1 through upper levels (search_layer_to,
-        # HNSW.hpp:1532-1567) seeded from the FULL entrance list
-        entry = np.broadcast_to(
-            self.entrances.astype(np.int32), (B, len(self.entrances))
-        )
-        for l in range(self.max_level, 0, -1):
-            lv = self.levels[l]
-            starts = jnp.asarray(lv.glob2loc[entry])
-            res = beam_search_batch(
-                q, lv.points_l, lv.nbrs, lv.degs, starts,
-                metric=self.points.metric, n_valid=len(lv.members),
-                k=0, L=1,
+        # HNSW.hpp:1532-1567) seeded from the FULL entrance list — ONE
+        # jitted program over all upper levels (their arrays are tiny and
+        # stay on device; the round-2 per-level dispatch + np.asarray
+        # readback cost ~4 relay round-trips per query batch -> 16K QPS)
+        S = 1
+        while S < len(self.entrances):
+            S *= 2
+        ent_pad = np.full(S, -1, dtype=np.int32)
+        ent_pad[: len(self.entrances)] = self.entrances
+        entry = jnp.asarray(np.broadcast_to(ent_pad, (B, S)))
+        if self.max_level > 0:
+            upper = self.levels[:0:-1]  # top .. 1
+            largs = tuple(
+                (lv.points_l, lv.nbrs, lv.degs, lv.members_d, lv.glob2loc_d)
+                for lv in upper
             )
-            loc = np.asarray(res.beam_ids[:, 0])
-            entry = np.where(loc >= 0, lv.members[np.clip(loc, 0, None)],
-                             entry[:, 0])[:, None]
+            nvs = tuple(len(lv.members) for lv in upper)
+            entry = _descent_all(
+                q, largs, entry, metric=self.points.metric, nvs=nvs
+            )
+        else:
+            entry = jnp.where(entry[:, 0] >= 0, entry[:, 0], 0)
+
+        # level 0: the shared fused-kernel machinery with per-query starts
+        L = max(ef, k)
+        idx = self._base_index()
+        ext = idx.build_inline_ext_cache()
+        if ext is not None:
+            from parlayann_tpu.ops import quantize
+            from parlayann_tpu.ops.pallas.fusedbeam import beam_search_fused
+            from parlayann_tpu.search.rerank import rerank_topk
+
+            tier = idx.qpoints
+            q_t = quantize.translate_query(q, tier).astype(jnp.float32)
+            fid, fdist, nv, cmps, _ = beam_search_fused(
+                q_t, tier.data, ext, entry[:, None],
+                metric=tier.metric, n_valid=tier.n, k=k, L=L, cut=cut,
+            )
+            return rerank_topk(
+                q.astype(jnp.float32), self.points.data, fid, k=k,
+                pool=min(10 * k, L), metric=self.points.metric,
+            )
         lv0 = self.levels[0]
         res = beam_search_batch(
-            q, lv0.points_l, lv0.nbrs, lv0.degs,
-            jnp.asarray(lv0.glob2loc[entry]),
+            q, lv0.points_l, lv0.nbrs, lv0.degs, entry[:, None],
             metric=self.points.metric, n_valid=self.points.n,
-            k=k, L=max(ef, k), cut=cut, expand=expand,
+            k=k, L=L, cut=cut, expand=expand,
         )
         return top_k_from_beam(res, k)
 
@@ -308,7 +353,9 @@ def _make_level(points: PointSet, members: np.ndarray, cap: int,
         )
         degs_a = jnp.asarray(np.pad(degs, (0, ml_pad - ml)).astype(np.int32))
     return Level(members=members, glob2loc=glob2loc, points_l=pts,
-                 nbrs=nbrs_a, degs=degs_a, cap=cap)
+                 nbrs=nbrs_a, degs=degs_a, cap=cap,
+                 members_d=jnp.asarray(np.pad(members, (0, ml_pad - ml))),
+                 glob2loc_d=jnp.asarray(glob2loc))
 
 
 def assign_levels(n: int, m_l: float, rng: np.random.Generator) -> np.ndarray:
@@ -318,82 +365,111 @@ def assign_levels(n: int, m_l: float, rng: np.random.Generator) -> np.ndarray:
     return np.minimum(lev, 24)
 
 
-def _insert_at_level(lv: Level, points: PointSet, batch_glob: np.ndarray,
-                     entry_glob: np.ndarray, efc: int, a_vamana: float,
-                     m_fwd: int, alpha_arr, bucket: int):
-    """Batch-insert ``batch_glob`` into one level from per-point entries
-    (``entry_glob``: (B,) or (B, S) — S-wide on the first level, seeded
-    from the full entrance list). Returns the closest-found global id per
-    point (entry for the next level)."""
-    B0 = len(batch_glob)
-    pad = bucket - B0
-    bg = np.pad(batch_glob, (0, pad), constant_values=-1)
-    eg = np.atleast_2d(np.asarray(entry_glob))
-    if eg.shape[0] != B0:
-        eg = eg.T
-    eg = np.pad(eg, ((0, pad), (0, 0)), constant_values=0)
-    loc = lv.glob2loc[np.clip(bg, 0, None)]
-    loc = np.where(bg >= 0, loc, -1).astype(np.int32)
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("metric", "nvs"))
+def _descent_all(q, levels_args, entry, *, metric: Metric, nvs):
+    """Greedy ef=1 descent through ALL upper levels in one program
+    (HNSW.hpp:1532-1567). ``levels_args``: per level top..1, a tuple
+    (points_l, nbrs, degs, members_d, glob2loc_d); ``nvs``: their member
+    counts (static). Returns (B,) global level-1 exits."""
+    for (pts, nb, dg, mem, g2l), nv in zip(levels_args, nvs):
+        starts = jnp.where(
+            entry >= 0, g2l[jnp.clip(entry, 0, None)], -1
+        )
+        res = beam_search_batch(
+            q, pts, nb, dg, starts, metric=metric, n_valid=nv, k=0, L=1,
+        )
+        loc = res.beam_ids[:, 0]
+        entry = jnp.where(
+            loc >= 0, mem[jnp.clip(loc, 0, None)], entry[:, 0]
+        )[:, None]
+    return entry[:, 0]
+
+
+@_partial(jax.jit, static_argnames=("n_valid", "efc", "m_fwd", "metric"),
+          donate_argnums=(1, 2))
+def _insert_at_level_dev(
+    lv_points, lv_nbrs, lv_degs, lv_members_d, lv_glob2loc_d,
+    points_data, batch_glob, entry_glob, ins_mask, alpha_arr,
+    *, n_valid: int, efc: int, m_fwd: int, metric: Metric,
+):
+    """Device-resident batch insert into one level (insert + set_neighbourhood
+    + reverse, HNSW.hpp:869-1014). ``ins_mask`` masks which batch rows insert
+    at this level (rows with False are untouched and pass their entry
+    through) — the whole batch goes through one fixed-shape program, so the
+    host never slices or reads anything back between levels.
+
+    Returns (nbrs, degs, entry_next (B,) global ids)."""
+    cap = lv_nbrs.shape[1]
+    bg = jnp.where(ins_mask, batch_glob, -1)
+    loc = jnp.where(
+        bg >= 0, lv_glob2loc_d[jnp.clip(bg, 0, None)], -1
+    ).astype(jnp.int32)
     # -1 padding in the entrance list stays -1 locally (invalid start)
-    starts = jnp.asarray(
-        np.where(eg >= 0, lv.glob2loc[np.clip(eg, 0, None)], -1)
-    )
-    q = jnp.take(points.data, jnp.asarray(np.clip(bg, 0, None)), axis=0)
+    eg = entry_glob
+    starts = jnp.where(eg >= 0, lv_glob2loc_d[jnp.clip(eg, 0, None)], -1)
+    q = jnp.take(points_data, jnp.clip(batch_glob, 0, None), axis=0)
 
     res = beam_search_batch(
-        q, lv.points_l, lv.nbrs, lv.degs, starts, jnp.asarray(loc),
-        metric=points.metric, n_valid=len(lv.members), k=0, L=efc,
+        q, lv_points, lv_nbrs, lv_degs, starts, loc,
+        metric=metric, n_valid=n_valid, k=0, L=efc,
         exclude_self=True,
     )
     # forward edges: alpha-prune the efc frontier (select_neighbors)
     pr = robust_prune_chunked(
-        jnp.asarray(loc), res.beam_ids,
+        loc, res.beam_ids,
         jnp.where(res.beam_ids >= 0, res.beam_dists, INF),
-        lv.points_l, alpha_arr, R=m_fwd, metric=points.metric,
-        n_valid=len(lv.members),
+        lv_points, alpha_arr, R=m_fwd, metric=metric,
+        n_valid=n_valid,
     )
-    wt = jnp.where(jnp.asarray(loc) >= 0, jnp.asarray(loc), lv.nbrs.shape[0])
-    if m_fwd < lv.cap:
-        sel = jnp.pad(pr.ids, ((0, 0), (0, lv.cap - m_fwd)), constant_values=-1)
-        seld = jnp.pad(pr.dists, ((0, 0), (0, lv.cap - m_fwd)),
+    wt = jnp.where(loc >= 0, loc, lv_nbrs.shape[0])
+    if m_fwd < cap:
+        sel = jnp.pad(pr.ids, ((0, 0), (0, cap - m_fwd)), constant_values=-1)
+        seld = jnp.pad(pr.dists, ((0, 0), (0, cap - m_fwd)),
                        constant_values=INF)
     else:
         sel, seld = pr.ids, pr.dists
-    nbrs = lv.nbrs.at[wt].set(sel, mode="drop")
-    degs = lv.degs.at[wt].set(pr.degree, mode="drop")
+    nbrs = lv_nbrs.at[wt].set(sel, mode="drop")
+    degs = lv_degs.at[wt].set(pr.degree, mode="drop")
     # reverse edges: overflow -> sort-truncate (HNSW.hpp:940-988)
     nbrs, degs, _ = exchange_reverse_edges(
-        nbrs, degs, jnp.asarray(loc), sel, seld, lv.points_l,
-        alpha_arr, R=lv.cap, metric=points.metric,
-        n_valid=len(lv.members), prune_budget=-1,
+        nbrs, degs, loc, sel, seld, lv_points,
+        alpha_arr, R=cap, metric=metric,
+        n_valid=n_valid, prune_budget=-1,
     )
-    lv.nbrs, lv.degs = nbrs, degs
-    closest = np.asarray(res.beam_ids[:, 0])[:B0]
-    out = np.where(closest >= 0, lv.members[np.clip(closest, 0, None)],
-                   eg[:B0, 0])
-    return out
+    closest = res.beam_ids[:, 0]
+    entry_next = jnp.where(
+        ins_mask & (closest >= 0),
+        lv_members_d[jnp.clip(closest, 0, None)], entry_glob[:, 0],
+    )
+    return nbrs, degs, entry_next
 
 
-def _descend(lv: Level, points: PointSet, batch_glob: np.ndarray,
-             entry_glob: np.ndarray, bucket: int):
-    """Greedy ef=1 step through one level (HNSW.hpp:1532-1567).
-    ``entry_glob``: (B,) or (B, S) global entry ids."""
-    B0 = len(batch_glob)
-    pad = bucket - B0
-    bg = np.pad(batch_glob, (0, pad), constant_values=0)
-    eg = np.atleast_2d(np.asarray(entry_glob))
-    if eg.shape[0] != B0:
-        eg = eg.T
-    eg = np.pad(eg, ((0, pad), (0, 0)), constant_values=0)
-    q = jnp.take(points.data, jnp.asarray(bg), axis=0)
+@_partial(jax.jit, static_argnames=("n_valid", "metric"))
+def _descend_dev(
+    lv_points, lv_nbrs, lv_degs, lv_members_d, lv_glob2loc_d,
+    points_data, batch_glob, entry_glob, desc_mask,
+    *, n_valid: int, metric: Metric,
+):
+    """Greedy ef=1 step through one level (HNSW.hpp:1532-1567), masked and
+    device-resident. Returns entry_next (B,) global ids."""
+    eg = entry_glob
+    starts = jnp.where(
+        (eg >= 0) & desc_mask[:, None],
+        lv_glob2loc_d[jnp.clip(eg, 0, None)], -1,
+    )
+    q = jnp.take(points_data, jnp.clip(batch_glob, 0, None), axis=0)
     res = beam_search_batch(
-        q, lv.points_l, lv.nbrs, lv.degs,
-        jnp.asarray(np.where(eg >= 0, lv.glob2loc[np.clip(eg, 0, None)], -1)),
-        metric=points.metric, n_valid=len(lv.members), k=0, L=1,
+        q, lv_points, lv_nbrs, lv_degs, starts,
+        metric=metric, n_valid=n_valid, k=0, L=1,
     )
-    loc = np.asarray(res.beam_ids[:, 0])[:B0]
-    return np.where(loc >= 0, lv.members[np.clip(loc, 0, None)],
-                    eg[:B0, 0])
+    loc = res.beam_ids[:, 0]
+    return jnp.where(
+        desc_mask & (loc >= 0),
+        lv_members_d[jnp.clip(loc, 0, None)], entry_glob[:, 0],
+    )
 
 
 def build_hnsw_graph(points: PointSet, bp: BuildParams,
@@ -448,28 +524,50 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
             S *= 2
         ent_pad = np.full(S, -1, dtype=np.int32)
         ent_pad[: len(entrances)] = entrances
-        entry = np.broadcast_to(ent_pad, (len(batch), S)).copy()
+        # pad the batch to a power of two (min upper_bucket): few compile
+        # shapes, and the whole batch flows through every level as ONE
+        # masked fixed-shape program — the round-2 per-level host slicing
+        # + readback cost ~3 fenced relay round-trips per level per batch
+        bw = upper_bucket
+        while bw < len(batch):
+            bw *= 2
+        bg = np.full(bw, -1, dtype=np.int32)
+        bg[: len(batch)] = batch
+        blev_pad = np.full(bw, -1, dtype=np.int32)
+        blev_pad[: len(batch)] = blev
+        bg_d = jnp.asarray(bg)
+        entry_d = jnp.asarray(np.broadcast_to(ent_pad, (bw, S)).copy())
         # start at the batch's own max level, not just the entrance level —
         # points above the current entrance insert on ALL their levels
         # (HNSW.hpp:991-1007), not only after later reverse edges wire them
         for l in range(max(ent_level, int(blev.max())), -1, -1):
-            ins_mask = blev >= l
+            ins_mask = blev_pad >= l
             # only descend through levels the entrances actually reach
-            desc_mask = ~ins_mask & (l <= ent_level)
+            desc_mask = ~ins_mask & (blev_pad >= 0) & (l <= ent_level)
+            lv = levels[l]
             if desc_mask.any() and l > 0:
-                sub = np.flatnonzero(desc_mask)
-                entry[sub] = _descend(
-                    levels[l], points, batch[sub], entry[sub], max_batch
-                )[:, None]
+                entry_next = _descend_dev(
+                    lv.points_l, lv.nbrs, lv.degs, lv.members_d,
+                    lv.glob2loc_d, points.data, bg_d, entry_d,
+                    jnp.asarray(desc_mask),
+                    n_valid=len(lv.members), metric=points.metric,
+                )
+                entry_d = jnp.where(
+                    jnp.asarray(desc_mask)[:, None], entry_next[:, None],
+                    entry_d,
+                )
             if ins_mask.any():
-                sub = np.flatnonzero(ins_mask)
-                bucket = max_batch if l == 0 else upper_bucket
-                for c0 in range(0, len(sub), bucket):
-                    cs = sub[c0 : c0 + bucket]
-                    entry[cs] = _insert_at_level(
-                        levels[l], points, batch[cs], entry[cs], efc,
-                        1.0 / alpha, m, a_vam, bucket,
-                    )[:, None]
+                lv.nbrs, lv.degs, entry_next = _insert_at_level_dev(
+                    lv.points_l, lv.nbrs, lv.degs, lv.members_d,
+                    lv.glob2loc_d, points.data, bg_d, entry_d,
+                    jnp.asarray(ins_mask), a_vam,
+                    n_valid=len(lv.members), efc=efc, m_fwd=m,
+                    metric=points.metric,
+                )
+                entry_d = jnp.where(
+                    jnp.asarray(ins_mask)[:, None], entry_next[:, None],
+                    entry_d,
+                )
         # entrance update (HNSW.hpp:991-1007): replace on a strictly higher
         # level, append the batch's highest node on a tie
         top = int(blev.max())

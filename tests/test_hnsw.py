@@ -162,7 +162,8 @@ def test_hnsw_descent_oracle(rng):
     upper-level graphs, greedy ef=1 descent must land on each level's true
     nearest member before the level-0 search (search_layer_to semantics,
     HNSW.hpp:1532-1567)."""
-    from parlayann_tpu.build.hnsw import _make_level, _descend
+    from parlayann_tpu.build.hnsw import _make_level, _descend_dev
+    import jax.numpy as jnp
 
     n, d = 400, 6
     X = rng.standard_normal((n, d)).astype(np.float32)
@@ -176,8 +177,12 @@ def test_hnsw_descent_oracle(rng):
     lv = _make_level(ps, members, cap=ml - 1, nbrs=nb,
                      degs=np.full(ml, ml - 1, dtype=np.int32))
     Qg = rng.integers(0, n, 32).astype(np.int32)  # query points by id
-    entry = np.full(32, int(members[0]), dtype=np.int32)
-    got = _descend(lv, ps, Qg, entry, bucket=32)
+    entry = np.full((32, 1), int(members[0]), dtype=np.int32)
+    got = np.asarray(_descend_dev(
+        lv.points_l, lv.nbrs, lv.degs, lv.members_d, lv.glob2loc_d,
+        ps.data, jnp.asarray(Qg), jnp.asarray(entry),
+        jnp.ones(32, bool), n_valid=ml, metric=Metric.L2,
+    ))
     qv = X[Qg]
     d2 = ((qv[:, None, :] - X[members][None, :, :]) ** 2).sum(-1)
     want = members[np.argmin(d2, axis=1)]
