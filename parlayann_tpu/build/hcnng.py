@@ -82,6 +82,11 @@ def build_hcnng_graph(points: PointSet, bp: BuildParams, verbose: bool = False):
         members, sizes = leaf_members(np.asarray(ids), np.asarray(labels), S)
         n_leaves = len(members)
         chunk = max(1, min(n_leaves, (1 << 25) // (S * S)))  # ~128MB tensors
+        # queue every chunk's device work first, read back second: the
+        # candidate tensors for chunk i+1 compute while the host runs
+        # Kruskal on chunk i (np.asarray is a fence; queuing first makes
+        # it a no-wait readback)
+        queued = []
         for lo in range(0, n_leaves, chunk):
             mem = members[lo : lo + chunk]
             sz = sizes[lo : lo + chunk]
@@ -94,21 +99,26 @@ def build_hcnng_graph(points: PointSet, bp: BuildParams, verbose: bool = False):
                 points.data, jnp.asarray(mem), jnp.asarray(sz),
                 S=S, m=m, metric=points.metric,
             )
-            su = np.asarray(su)[: chunk - pad]
-            sv = np.asarray(sv)[: chunk - pad]
+            queued.append((lo, pad, su, sv))
+        for lo, pad, su, sv in queued:
+            nl = su.shape[0] - pad
+            su = np.asarray(su)[:nl]
+            sv = np.asarray(sv)[:nl]
             # sequential island: degree-bounded Kruskal per leaf (C++)
-            ou, ov, cnt = native.kruskal_leaves(su, sv, sz[: chunk - pad], S,
-                                                mst_deg)
-            for li in range(len(cnt)):
-                c = int(cnt[li])
-                if c == 0:
-                    continue
-                gl = members[lo + li]
-                eu = gl[ou[li, :c]]
-                ev = gl[ov[li, :c]]
-                # both directions (hcnng_index.h:208-218)
-                srcs.append(np.concatenate([eu, ev]))
-                dsts.append(np.concatenate([ev, eu]))
+            ou, ov, cnt = native.kruskal_leaves(
+                su, sv, sizes[lo : lo + nl], S, mst_deg
+            )
+            # flat-offset assembly — one mask + two fancy-index gathers per
+            # chunk instead of a Python loop over every leaf
+            cnt = np.asarray(cnt)
+            keep = np.arange(ou.shape[1])[None, :] < cnt[:, None]
+            gl = members[lo : lo + nl]  # (nl, S) global ids
+            rowi = np.broadcast_to(np.arange(nl)[:, None], ou.shape)[keep]
+            eu = gl[rowi, np.clip(ou, 0, S - 1)[keep]]
+            ev = gl[rowi, np.clip(ov, 0, S - 1)[keep]]
+            # both directions (hcnng_index.h:208-218)
+            srcs.append(np.concatenate([eu, ev]))
+            dsts.append(np.concatenate([ev, eu]))
         if verbose:
             print(f"hcnng: tree {t+1}/{bp.num_clusters} ({n_leaves} leaves)",
                   flush=True)

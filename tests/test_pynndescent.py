@@ -97,3 +97,136 @@ def test_pynndescent_convergence(rng):
     assert qual[-1] >= 0.8, qual
     # the descent converges: last round changes fewer entries than first
     assert changes[-1] < changes[0], changes
+
+
+def _oracle_push_join(X, ids, ds, delta=0.05, max_rounds=8):
+    """Exact reference-semantics nn-descent (pynn_index.h:66-155): per
+    round, for every vertex, the push-style local join over its REVERSE
+    neighbors (filtered by its own out-set), work-bounded by the changed
+    ("new") flags, emitted edges semisorted by target and folded in with
+    a bounded union. Pure numpy; the CPU oracle for the repo's pull-style
+    sampled join."""
+    n, K = ids.shape
+    ids = ids.copy()
+    ds = ds.copy()
+    changed = np.ones(n, dtype=bool)
+    for _ in range(max_rounds):
+        rev = [[] for _ in range(n)]
+        for i in range(n):
+            for j in ids[i]:
+                if j >= 0:
+                    rev[j].append(i)
+        buck_i = [[] for _ in range(n)]
+        buck_d = [[] for _ in range(n)]
+
+        def emit(tgt, src, dist):
+            # dist < tgt's current worst (pynn_index.h:104-112)
+            ok = dist < ds[tgt, -1]
+            for t, s, dd in zip(tgt[ok], src[ok], dist[ok]):
+                buck_i[t].append(s)
+                buck_d[t].append(dd)
+
+        for index in range(n):
+            filt = set(ids[index].tolist())
+            filt.add(index)
+            c = np.array([a for a in rev[index] if a not in filt],
+                         dtype=np.int64)
+            if len(c) == 0:
+                continue
+            # pairs within the filtered candidates
+            D = ((X[c][:, None] - X[c][None, :]) ** 2).sum(-1)
+            l, m = np.triu_indices(len(c), k=1)
+            act = changed[c[l]] | changed[c[m]]
+            l, m = l[act], m[act]
+            emit(c[l], c[m], D[l, m])
+            emit(c[m], c[l], D[l, m])
+            # pairs (old neighbors of index) x candidates
+            o = ids[index][ids[index] >= 0]
+            if len(o):
+                D2 = ((X[o][:, None] - X[c][None, :]) ** 2).sum(-1)
+                oj, ck = np.meshgrid(np.arange(len(o)), np.arange(len(c)),
+                                     indexing="ij")
+                act = changed[index] | changed[c[ck]]
+                oj, ck = oj[act], ck[act]
+                emit(o[oj], c[ck], D2[oj, ck])
+                emit(c[ck], o[oj], D2[oj, ck])
+
+        new_changed = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if not buck_i[i]:
+                continue
+            ci = np.array(buck_i[i] + ids[i].tolist())
+            cd = np.array(buck_d[i] + ds[i].tolist())
+            order = np.lexsort((ci, cd))
+            ci, cd = ci[order], cd[order]
+            _, first = np.unique(ci, return_index=True)
+            first.sort()
+            ci, cd = ci[first][: K], cd[first][: K]
+            order = np.lexsort((ci, cd))
+            ci, cd = ci[order], cd[order]
+            if len(ci) == K and not np.array_equal(ci, ids[i]):
+                new_changed[i] = True
+                ids[i], ds[i] = ci, cd
+        changed = new_changed
+        if changed.sum() < delta * n:
+            break
+    return ids
+
+
+def test_descent_matches_reference_semantics(rng):
+    """The documented deviation (pull-style sampled 2-hop join vs the
+    reference's push-style new-flag local join) holds up on a CONNECTED
+    clustered set: from identical random inits, graph quality (true
+    10-NN edges present in the K-list) within 2pp of the exact oracle."""
+    import jax.numpy as jnp
+    from parlayann_tpu.build.pynndescent import (
+        _reverse_capped, _descent_round,
+    )
+    from parlayann_tpu.types import Metric
+    from parlayann_tpu.data.pointset import PointSet
+
+    n, d, K = 1200, 16, 40
+    centers = rng.standard_normal((12, d)) * 1.0
+    assign = rng.integers(0, 12, n)
+    X = (centers[assign] + 1.0 * rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    # identical random init for both
+    init = np.argsort(rng.random((n, n)), axis=1)[:, :K].astype(np.int32)
+    init_d = ((X[:, None, :].repeat(1, 1) -
+               X[init]) ** 2).sum(-1).astype(np.float32)
+    order = np.argsort(init_d, axis=1)
+    init = np.take_along_axis(init, order, axis=1)
+    init_d = np.take_along_axis(init_d, order, axis=1)
+
+    true10 = np.argsort(((X[:, None] - X[None]) ** 2).sum(-1) +
+                        np.eye(n) * 1e9, axis=1)[:, :10]
+
+    def graph_recall(ids):
+        hit = 0
+        for i in range(n):
+            hit += len(set(true10[i].tolist()) & set(ids[i].tolist()))
+        return hit / (10 * n)
+
+    oracle_ids = _oracle_push_join(X.astype(np.float64), init, init_d)
+    rec_oracle = graph_recall(oracle_ids)
+
+    ps = PointSet.from_numpy(X)
+    ids_j = jnp.asarray(np.pad(init, ((0, ps.n_pad - n), (0, 0)),
+                               constant_values=-1))
+    ds_j = jnp.asarray(np.pad(init_d, ((0, ps.n_pad - n), (0, 0)),
+                              constant_values=np.float32(np.inf)))
+    import jax
+    key = jax.random.key(0)
+    for _ in range(8):
+        key, k1, k2 = jax.random.split(key, 3)
+        rev = _reverse_capped(ids_j, k1, K=K, metric=Metric.L2, n_valid=n)
+        ids_j, ds_j, changed = _descent_round(
+            ps.data, ids_j, ds_j, rev, k2, s1=16, s2=16, K=K,
+            metric=Metric.L2, n_valid=n,
+        )
+        if int(changed) < 0.05 * n:
+            break
+    rec_ours = graph_recall(np.asarray(ids_j)[:n])
+    print(f"oracle={rec_oracle:.4f} ours={rec_ours:.4f}")
+    assert rec_ours >= rec_oracle - 0.02, (rec_ours, rec_oracle)
