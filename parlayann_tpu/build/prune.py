@@ -75,7 +75,12 @@ def _occlusion_loop(cand_ids, cand_dists, cand_vecs, alpha, R: int, metric: Metr
     selection (= distance) order. Dispatches to the VMEM-resident Pallas
     kernel (ops/pallas/occlude.py) unless PARLAYANN_OCCLUDE=xla; the XLA
     pairwise-matrix path below is the reference implementation and the
-    CPU-test oracle for the kernel."""
+    CPU-test oracle for the kernel.
+
+    NOTE: the env var is read at TRACE time inside jitted callers — it
+    only takes effect before the first compile of each shape; flipping it
+    mid-process does not affect already-compiled programs. Set it before
+    the first build call when A/B-ing kernel vs XLA."""
     import os
 
     if os.environ.get("PARLAYANN_OCCLUDE", "kernel") != "xla":

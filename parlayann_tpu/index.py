@@ -51,6 +51,7 @@ class Index:
     # kernel (ops/pallas/fusedbeam.py): neighbor vectors + id byte planes
     inline_ext: Optional[object] = None
     use_fused: bool = True
+    _inline_bits_src: Optional[int] = None  # id() of inline_bits's source
 
     @staticmethod
     def load(
@@ -158,11 +159,16 @@ class Index:
         """Packed-word inline cache for the 1-bit tiers (n, R, W) uint32 —
         32x smaller than the f32 inline, so it fits HBM at n where the
         scalar tiers cannot; feeds the popcount variant of the Pallas
-        expansion kernel."""
+        expansion kernel. Keyed on the source PointSet: the 1-bit tier and
+        the JL sign-bit tier have different word widths, so a stale cache
+        from the other tier would compute wrong hamming distances."""
         from parlayann_tpu.ops.pallas.expand import build_inline
 
-        if self.inline_bits is None and self.use_inline:
+        if self.use_inline and (
+            self.inline_bits is None or self._inline_bits_src != id(src)
+        ):
             self.inline_bits = build_inline(src.data, self.graph.neighbors)
+            self._inline_bits_src = id(src)
         return self.inline_bits
 
     # ------------------------------------------------------------------

@@ -107,6 +107,14 @@ def occlusion_rounds(
     d = cand_vecs.shape[2]
     # VMEM budget: f32 pair (block, C, C) + f32 vecs (block, C, d) ≤ ~8MB
     fit = (8 << 20) // (4 * C * (C + d))
+    if fit < 8:
+        # even an 8-row block would blow the budget — fail loudly instead
+        # of silently clamping past it (C*(C+d) > 256K elements)
+        raise ValueError(
+            f"occlusion kernel: candidate width C={C} with d={d} exceeds "
+            f"the ~8MB VMEM budget at the minimum 8-row block; use the "
+            f"XLA path (PARLAYANN_OCCLUDE=xla) or reduce C"
+        )
     block = max(8, min(block, B, (fit // 8) * 8))
     pad = (-B) % block
     if pad:
