@@ -52,8 +52,11 @@ class ReverseCtx(NamedTuple):
 
     All arrays are length M = B*R (the flattened edge list, sorted by
     (target, dist)). ``perm`` lists edge-row positions with overflow
-    group-first rows compacted to the front; ``n_overflow`` of them need an
-    α-prune.
+    group-first rows compacted to the front — LARGE overflow groups
+    (count > small_cap) first, then small ones — so the prune pass can run
+    a wide-candidate program on the few large targets and a narrow one on
+    the ~90% small targets (the α-occlusion cost is ~C² per row, so the
+    split is worth ~2.5x on the overflow phase).
     """
 
     perm: jax.Array  # (M,) int32 priority permutation
@@ -61,7 +64,8 @@ class ReverseCtx(NamedTuple):
     s_src: jax.Array  # (M,) sources, sorted alongside
     s_dist: jax.Array  # (M,) edge distances, sorted alongside
     count: jax.Array  # (M,) group size at each sorted position
-    n_overflow: jax.Array  # () int32
+    n_overflow: jax.Array  # () int32 — total overflow targets
+    n_large: jax.Array  # () int32 — overflow targets with count > small_cap
 
 
 def prepare_reverse_append(
@@ -74,9 +78,13 @@ def prepare_reverse_append(
     R: int,
     n_valid: int,
     cap: int = 0,
+    small_cap: int = 8,
 ):
     """Semisort edges, append into non-overflowing targets (ids only, no
     vector traffic), and return the overflow context for the prune chunks.
+    ``small_cap``: overflow targets with at most this many incoming edges
+    sort after the large ones so they can be pruned with a narrow
+    candidate width (see ReverseCtx).
     """
     B = batch_ids.shape[0]
     M = B * R
@@ -104,9 +112,14 @@ def prepare_reverse_append(
     total = old_deg_all + count
     overflow = total > R
 
-    prio = jnp.where(fo & overflow, 0, jnp.where(fo, 1, 2)).astype(jnp.int32)
+    is_large = fo & overflow & (count > small_cap)
+    prio = jnp.where(
+        is_large, 0,
+        jnp.where(fo & overflow, 1, jnp.where(fo, 2, 3)),
+    ).astype(jnp.int32)
     _, perm = jax.lax.sort((prio, pos), num_keys=1, is_stable=True)
     n_overflow = jnp.sum(fo & overflow).astype(jnp.int32)
+    n_large = jnp.sum(is_large).astype(jnp.int32)
 
     # ---- append pass: one vectorized shot over all M rows (no chunking
     # needed — the only gather is the (M, R) int32 old rows) ----
@@ -122,7 +135,7 @@ def prepare_reverse_append(
     nbrs = nbrs.at[wt].set(app_ids, mode="drop")
     degs = degs.at[wt].set(app_deg, mode="drop")
 
-    ctx = ReverseCtx(perm, s_tgt, s_src, s_dist, count, n_overflow)
+    ctx = ReverseCtx(perm, s_tgt, s_src, s_dist, count, n_overflow, n_large)
     stats = ReverseStats(
         n_groups=jnp.sum(fo),
         n_overflow=n_overflow,
@@ -143,24 +156,40 @@ def prune_reverse_all(
     n_valid: int,
     chunk: int = 4096,
     cap: int = 0,
+    small_cap: int = 8,
 ):
-    """α-prune EVERY overflow target, inside one trace: a lax.scan over the
-    static worst-case chunk schedule where chunks past ``n_overflow`` are
+    """α-prune EVERY overflow target, inside one trace: lax.scans over the
+    static worst-case chunk schedules where chunks past the live range are
     skipped by a traced ``lax.cond`` (all-or-nothing per chunk, so the
     skip costs nothing at runtime). No host round-trips — the round-1
     per-batch readback + dispatch latency through the TPU relay was worth
-    ~0.5 s/batch, dominating the build."""
+    ~0.5 s/batch, dominating the build.
+
+    Two scans: the first ``ctx.n_large`` perm rows (count > small_cap) run
+    with the full candidate width C = R + cap; the remaining small
+    overflow rows run with C = R + small_cap. ~90% of overflow targets
+    have <= 8 incoming edges (measured on synth100k), and the occlusion
+    kernel's per-row cost is ~R*C² — the split cuts the dominant build
+    phase ~2.5x with bit-identical results (a small group's members all
+    fit the narrow cap by definition)."""
     M = ctx.perm.shape[0]
     chunk = min(chunk, M)
+    # the narrow program is ~(R+small)²/(R+cap)² cheaper per row: give it
+    # proportionally wider chunks to keep per-chunk cost roughly equal
+    cw = cap if cap > 0 else R
+    ratio = max(1, ((R + cw) * (R + cw)) // ((R + small_cap) * (R + small_cap)))
+    chunk_small = min(chunk * min(ratio, 4), M)
     n_chunks = -(-M // chunk)
+    n_chunks_small = -(-M // chunk_small)
 
-    def one(carry, off):
+    def one(carry, off, width, hi, prune_cap):
         return jax.lax.cond(
-            off < ctx.n_overflow,
+            off < hi,
             lambda c, o: (
                 prune_reverse_chunk(
                     c[0], c[1], ctx, o, points_data, alpha,
-                    R=R, metric=metric, n_valid=n_valid, chunk=chunk, cap=cap,
+                    R=R, metric=metric, n_valid=n_valid, chunk=width,
+                    cap=prune_cap, hi=hi,
                 ),
                 None,
             ),
@@ -169,7 +198,15 @@ def prune_reverse_all(
         )
 
     offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (nbrs, degs), _ = jax.lax.scan(one, (nbrs, degs), offs)
+    (nbrs, degs), _ = jax.lax.scan(
+        lambda c, o: one(c, o, chunk, ctx.n_large, cap),
+        (nbrs, degs), offs,
+    )
+    offs_s = ctx.n_large + jnp.arange(n_chunks_small, dtype=jnp.int32) * chunk_small
+    (nbrs, degs), _ = jax.lax.scan(
+        lambda c, o: one(c, o, chunk_small, ctx.n_overflow, small_cap),
+        (nbrs, degs), offs_s,
+    )
     return nbrs, degs
 
 
@@ -186,9 +223,11 @@ def prune_reverse_chunk(
     n_valid: int,
     chunk: int = 4096,
     cap: int = 0,
+    hi=None,
 ):
     """α-prune ``chunk`` overflow targets starting at ``perm[offset]``
-    (index.h:289-300). Rows past ``n_overflow`` are masked inactive."""
+    (index.h:289-300). Rows past ``hi`` (default ``n_overflow``) are
+    masked inactive."""
     M = ctx.perm.shape[0]
     n_pad = nbrs.shape[0]
     cap = cap if cap > 0 else R
@@ -199,7 +238,8 @@ def prune_reverse_chunk(
         jnp.concatenate([ctx.perm, jnp.zeros((chunk,), jnp.int32)]),
         (off,), (chunk,),
     )
-    pmask = (off + jnp.arange(chunk, dtype=jnp.int32)) < ctx.n_overflow
+    bound = ctx.n_overflow if hi is None else hi
+    pmask = (off + jnp.arange(chunk, dtype=jnp.int32)) < bound
     t = jnp.where(pmask, ctx.s_tgt[jnp.clip(prows, 0, M - 1)], n_pad)
     p_ids = jnp.where(pmask, t, -1)
 

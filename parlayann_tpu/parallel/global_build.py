@@ -580,3 +580,49 @@ def global_search(
     ids = np.asarray(ids).reshape(B, k)[:B0]
     dists = np.asarray(dists).reshape(B, k)[:B0]
     return ids, dists
+
+
+def collective_volume_report(
+    n: int, D: int, *, R: int, L: int, dim: int, batch: int,
+    itemsize: int = 4, print_table: bool = True,
+):
+    """Static per-batch ICI volume estimate for the global build's
+    collective pattern (shapes are static under jit, so the volumes are
+    exact up to the ring-model factor (D-1)/D per all_gather /
+    psum_scatter and 2(D-1)/D per psum).
+
+    The dominant term is the per-hop candidate-id REPLICATION
+    (``fetch_cand`` step 1: psum of (B, E, R) ids + (B, E) degrees,
+    global_build.py:152-163) — it scales with B*R per hop and rides every
+    beam step of every batch. Returns {site: bytes_per_batch} and prints
+    a table for dryrun logs."""
+    B = batch
+    E = 1
+    vmax = max((3 * L) // 2, R + 16)
+    hops = vmax  # upper bound: one expansion per step per query
+    C = vmax + R  # forward-prune candidate width (visited + old row)
+    M = B * R
+    pchunk = min(M, 2048)
+    nchunks = max(1, -(-M // pchunk))
+    ag = (D - 1) / D          # ring all_gather / psum_scatter factor
+    ps = 2 * (D - 1) / D      # psum = reduce_scatter + all_gather
+
+    sites = [
+        ("beam: all_gather exp ids      (B,E)", hops * ag * B * E * itemsize),
+        ("beam: psum cand ids+deg   (B,E,R+1)", hops * ps * B * E * (R + 1) * itemsize),
+        ("beam: psum_scatter dists    (B,E*R)", hops * ag * B * E * R * itemsize),
+        ("fwd prune: all_gather ids     (B,C)", ag * B * C * itemsize),
+        ("fwd prune: psum_scatter vecs (B,C,d)", ag * B * C * dim * itemsize),
+        ("reverse: all_gather edges (B,R)x2  ", ag * B * R * 2 * itemsize),
+        ("overflow: all_gather ids  (chunk,C)", nchunks * ag * D * pchunk * (2 * R) * itemsize),
+        ("overflow: psum_scatter vecs        ", nchunks * ag * pchunk * 2 * R * dim * itemsize),
+    ]
+    total = sum(v for _, v in sites)
+    if print_table:
+        print(f"ICI volume per max-width batch (B={B}, D={D}, R={R}, "
+              f"L={L}, dim={dim}, hops<={hops}):", flush=True)
+        for name, v in sites:
+            print(f"  {name}: {v/1e6:10.2f} MB", flush=True)
+        print(f"  TOTAL: {total/1e6:.2f} MB/batch  "
+              f"(~{total * (n // max(B, 1)) / 1e9:.2f} GB/pass)", flush=True)
+    return dict(sites), total
