@@ -176,3 +176,29 @@ def vectors_to_file(vector_file: str, vectors) -> None:
 
 def vectors_from_file(vector_file: str, dtype=None):
     return read_bin(vector_file, dtype if dtype is not None else infer_bin_dtype(vector_file))
+
+
+def read_hdf5(path: str, dataset: str = "train") -> np.ndarray:
+    """Read a 2-D dataset from an HDF5 file (h5_ops.hpp:14-63, the
+    reference's optional SUPPORT_HDF5 point loader; ann-benchmarks files
+    use datasets "train"/"test"). Requires h5py."""
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover - h5py is baked in here
+        raise ImportError("HDF5 support requires h5py") from e
+    with h5py.File(path, "r") as f:
+        if dataset not in f:
+            raise KeyError(
+                f"dataset {dataset!r} not in {path} (has {list(f.keys())})"
+            )
+        arr = np.asarray(f[dataset])
+    if arr.ndim != 2:
+        raise ValueError(f"{path}:{dataset} is {arr.ndim}-D, expected 2-D")
+    return arr
+
+
+def write_hdf5(path: str, data: np.ndarray, dataset: str = "train") -> None:
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset(dataset, data=np.ascontiguousarray(data))

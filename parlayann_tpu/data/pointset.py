@@ -84,6 +84,8 @@ class PointSet:
     ) -> "PointSet":
         if path.endswith((".fvecs", ".bvecs", ".ivecs")):
             arr = io.read_vecs(path)
+        elif path.endswith((".h5", ".hdf5")):
+            arr = io.read_hdf5(path)
         else:
             dt = dtype if dtype is not None else io.infer_bin_dtype(path)
             arr = io.read_bin(path, dtype=dt)

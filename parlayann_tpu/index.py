@@ -342,6 +342,29 @@ class Index:
         dt = time.perf_counter() - t0
         return (*out, dt)
 
+    def batch_search_from_string(self, queries: bytes, k: int = 10,
+                                 beam_size: int = 128,
+                                 visit_limit: Optional[int] = None, **kw):
+        """Search queries given as a big-ann ``.bin`` byte string
+        ([u32 n][u32 d] + rows), the zero-copy convenience of
+        GraphIndex::batch_search_from_string (graph_index.cpp:236-257).
+        Returns (ids (n, k), dists (n, k))."""
+        hdr = np.frombuffer(queries, dtype=np.uint32, count=2)
+        n, d = int(hdr[0]), int(hdr[1])
+        if d != self.points.d:
+            raise ValueError(
+                f"query dim {d} != index dim {self.points.d}"
+            )
+        itemsize = (len(queries) - 8) // max(n * d, 1)
+        dt = {4: np.float32, 1: np.uint8}.get(itemsize, np.float32)
+        q = np.frombuffer(queries, dtype=dt, offset=8,
+                          count=n * d).reshape(n, d)
+        ids, dists, _ = self.batch_search(
+            q.astype(np.float32), k=k, beam_size=beam_size,
+            limit=visit_limit, **kw,
+        )
+        return np.asarray(ids), np.asarray(dists)
+
     def single_search(self, query, k: int = 10, beam_size: int = 128, **kw):
         ids, dists, _ = self.batch_search(
             np.asarray(query)[None, :], k=k, beam_size=beam_size, **kw

@@ -73,3 +73,34 @@ def test_range_ibin_roundtrip(tmp_path, rng):
     assert len(out) == 12
     for a, b in zip(lists, out):
         np.testing.assert_array_equal(a, b)
+
+
+def test_hdf5_roundtrip(tmp_path, rng):
+    """HDF5 loaders (h5_ops.hpp parity): write/read + PointSet.from_file."""
+    from parlayann_tpu.data import io
+    from parlayann_tpu.data.pointset import PointSet
+
+    x = rng.standard_normal((40, 12)).astype(np.float32)
+    p = str(tmp_path / "x.h5")
+    io.write_hdf5(p, x)
+    np.testing.assert_array_equal(io.read_hdf5(p), x)
+    ps = PointSet.from_file(p)
+    assert ps.n == 40 and ps.d == 12
+    import pytest
+    with pytest.raises(KeyError):
+        io.read_hdf5(p, dataset="nope")
+
+
+def test_batch_search_from_string(rng):
+    """graph_index.cpp:236-257 parity: queries as a .bin byte string."""
+    import parlayann_tpu as pt
+    from parlayann_tpu.index import Index
+
+    X = rng.standard_normal((400, 16)).astype(np.float32)
+    Q = rng.standard_normal((8, 16)).astype(np.float32)
+    graph, ps, _ = pt.build_vamana_index(X, R=8, L=16)
+    idx = Index(points=ps, graph=graph)
+    blob = np.array([8, 16], np.uint32).tobytes() + Q.tobytes()
+    ids, dists = idx.batch_search_from_string(blob, k=5, beam_size=16)
+    ids2, dists2, _ = idx.batch_search(Q, k=5, beam_size=16)
+    np.testing.assert_array_equal(ids, np.asarray(ids2))
