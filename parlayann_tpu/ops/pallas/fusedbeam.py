@@ -131,14 +131,22 @@ def _step_kernel(
 ):
     bi = pl.program_id(0)
     n_grp = block_b // G
+    assert n_grp >= n_buf, "block_b // G must cover the DMA ring"
+    # the DMA ring STREAMS ACROSS grid blocks: group indices are global,
+    # block i's loop issues lookahead into block i+1's first groups, and
+    # only block 0 warms the ring. Without this, every block's phase B
+    # (~16us of lane-sort work) idles the DMA engine — ~25% of step time.
+    g0 = bi * n_grp
+    n_grp_total = pl.num_programs(0) * n_grp
 
     # a fully-frozen block (every exp id < 0) skips all work and copies its
     # state through: after driver-side compaction the frozen tail of the
-    # batch costs only the block I/O
+    # batch costs only the block I/O (plus the next block's ring lookahead
+    # — a skipped issue would hang the next block's waits)
     n_active = jnp.sum((expv_ref[:] >= 0).astype(jnp.int32))
 
-    def dma(slot, g, j):
-        v = exp_ref[bi * block_b + g * G + j]
+    def dma(slot, gg, j):
+        v = exp_ref[gg * G + j]
         # clamp hard: an out-of-range address faults the TPU worker
         vc = jnp.clip(v, 0, inline_hbm.shape[0] - 1)
         return v, pltpu.make_async_copy(
@@ -150,10 +158,11 @@ def _step_kernel(
     _prio = os.environ.get("PARLAYANN_DMA_PRIO", "0") == "1"
     _cond = os.environ.get("PARLAYANN_DMA_COND", "1") == "1"
 
-    def dma_start(slot, g, j):
+    def dma_start(slot, gg, j):
         # frozen queries (exp id -1) issue no DMA: the wait site reads the
         # same prefetched scalar, so start/wait predicates always agree
-        v, cp = dma(slot, g, j)
+        # (both read exp_ref[gg*G+j], which is constant for the dispatch)
+        v, cp = dma(slot, gg, j)
         kw = {"priority": j % 2} if _prio else {}
         if not _cond:
             cp.start(**kw)
@@ -163,8 +172,8 @@ def _step_kernel(
         def _():
             cp.start(**kw)
 
-    def dma_wait(slot, g, j):
-        v, cp = dma(slot, g, j)
+    def dma_wait(slot, gg, j):
+        v, cp = dma(slot, gg, j)
         if not _cond:
             cp.wait()
             return
@@ -173,6 +182,15 @@ def _step_kernel(
         def _():
             cp.wait()
 
+    def lookahead(gg):
+        """Issue group gg's DMAs if it exists (ring slot = gg % n_buf)."""
+
+        @pl.when(gg < n_grp_total)
+        def _():
+            slot = jax.lax.rem(gg, n_buf)
+            for j in range(G):
+                dma_start(slot, gg, j)
+
     @pl.when(n_active == 0)
     def _():
         obdist[:] = bdist_ref[:]
@@ -180,13 +198,19 @@ def _step_kernel(
         onv[:] = nv_ref[:]
         ocmps[:] = cmps_ref[:]
         onext[:] = expv_ref[:]
+        # this block's own rows are all frozen (start AND wait skipped by
+        # the row condition), but the next block still waits on its first
+        # n_buf groups — issue that lookahead even when passing through
+        for s in range(n_buf):
+            lookahead(g0 + n_grp + s)
 
     @pl.when(n_active > 0)
     def _active_block():
         _step_body(
             exp_ref, q_ref, bdist_ref, bpack_ref, nv_ref, cmps_ref, expv_ref,
             inline_hbm, obdist, obpack, onv, ocmps, onext,
-            vmem, sems, cdbuf, cibuf, dma_start, dma_wait,
+            vmem, sems, cdbuf, cibuf, dma_start, dma_wait, lookahead,
+            bi=bi, g0=g0,
             R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
             metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
             n_buf=n_buf, ablate=ablate,
@@ -196,20 +220,25 @@ def _step_kernel(
 def _step_body(
     exp_ref, q_ref, bdist_ref, bpack_ref, nv_ref, cmps_ref, expv_ref,
     inline_hbm, obdist, obpack, onv, ocmps, onext,
-    vmem, sems, cdbuf, cibuf, dma_start, dma_wait,
-    *, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit, block_b, G, n_buf,
-    ablate,
+    vmem, sems, cdbuf, cibuf, dma_start, dma_wait, lookahead,
+    *, bi, g0, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit, block_b,
+    G, n_buf, ablate,
 ):
     n_grp = block_b // G
-    for s in range(n_buf):
-        for j in range(G):
-            dma_start(s, s, j)
+
+    # warm the ring only on the first grid block; later blocks' first
+    # n_buf groups were issued by the previous block's lookahead
+    @pl.when(bi == 0)
+    def _():
+        for s in range(n_buf):
+            lookahead(s)
 
     # ---- phase A: per-group DMA + row-local compute -> block scratch ----
     def loop(g, _):
-        slot = jax.lax.rem(g, n_buf)
+        gg = g0 + g
+        slot = jax.lax.rem(gg, n_buf)
         for j in range(G):
-            dma_wait(slot, g, j)
+            dma_wait(slot, gg, j)
         rows = vmem[slot]  # (G, R8 + 8, d) int8
         sl = pl.ds(g * G, G)
         q = q_ref[sl, :]  # (G, d) f32
@@ -254,13 +283,9 @@ def _step_body(
         cdbuf[sl, :] = cd
         cibuf[sl, :] = cid
 
-        nxt = g + n_buf
-
-        @pl.when(nxt < n_grp)
-        def _():
-            for j in range(G):
-                dma_start(slot, nxt, j)
-
+        # issue-ahead n_buf groups (same ring slot), possibly into the
+        # NEXT grid block's rows — the engine stays busy through phase B
+        lookahead(gg + n_buf)
         return 0
 
     jax.lax.fori_loop(0, n_grp, loop, 0)
@@ -389,6 +414,7 @@ def fused_step(
     if jax.default_backend() != "tpu":
         interpret = True
     block_b = max(G, min(block_b, B))
+    n_buf = min(n_buf, block_b // G)  # ring must fit inside one block
     kernel = functools.partial(
         _step_kernel, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
         metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
