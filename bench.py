@@ -53,9 +53,19 @@ def main():
                                cluster_std=0.35, seed=7)
     ps = PointSet.from_numpy(X)
 
-    t0 = time.perf_counter()
-    gt_ids, gt_dists = exact.compute_groundtruth(ps, Q, 2 * k)
-    log(f"ground truth: {time.perf_counter()-t0:.2f}s")
+    cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_cache")
+    os.makedirs(cdir, exist_ok=True)
+    gtpath = os.path.join(cdir, f"gt_{n}x{d}_{nq}.npz")
+    if os.path.exists(gtpath):
+        z = np.load(gtpath)
+        gt_ids, gt_dists = z["ids"], z["dists"]
+        log("ground truth: cached")
+    else:
+        t0 = time.perf_counter()
+        gt_ids, gt_dists = exact.compute_groundtruth(ps, Q, 2 * k)
+        log(f"ground truth: {time.perf_counter()-t0:.2f}s")
+        np.savez(gtpath, ids=gt_ids, dists=gt_dists)
 
     # quickstart-parity config: full-precision build (docs/quickstart.md),
     # quantized+rerank search tier

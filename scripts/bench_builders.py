@@ -40,9 +40,18 @@ def main():
                                n_clusters=max(64, n // 100),
                                cluster_std=0.35, seed=7)
     ps = PointSet.from_numpy(X)
-    t0 = time.perf_counter()
-    gt_ids, gt_dists = exact.compute_groundtruth(ps, Q, 20)
-    print(f"gt: {time.perf_counter() - t0:.1f}s", flush=True)
+    cdir = os.path.join(os.path.dirname(__file__), "..", "bench_cache")
+    os.makedirs(cdir, exist_ok=True)
+    gtpath = os.path.join(cdir, f"gt_{n}x{d}_{nq}.npz")
+    if os.path.exists(gtpath):
+        z = np.load(gtpath)
+        gt_ids, gt_dists = z["ids"], z["dists"]
+        print("gt: cached", flush=True)
+    else:
+        t0 = time.perf_counter()
+        gt_ids, gt_dists = exact.compute_groundtruth(ps, Q, 20)
+        print(f"gt: {time.perf_counter() - t0:.1f}s", flush=True)
+        np.savez(gtpath, ids=gt_ids, dists=gt_dists)
     which = os.environ.get("WHICH", "hcnng,pynn,hnsw").split(",")
 
     def sweep(idx, name, beams=(30, 40, 55, 80), **kw):
@@ -110,7 +119,7 @@ def main():
         t0 = time.perf_counter()
         idx, dt = build_hnsw_graph(ps, bp, verbose=False)
         print(f"HNSW build: {dt:.2f}s", flush=True)
-        for ef in (30, 50, 80):
+        for ef in (12, 16, 22, 30, 50):
             best = 1e9
             for r in range(3):
                 t0 = time.perf_counter()
