@@ -109,6 +109,54 @@ def _fwd_phase_impl(
     return nbrs, degs, pr.ids, pr.dists
 
 
+def _exact_phase_impl(
+    nbrs, degs, points_data, batch_ids, inserted, start,
+    *, R, L, vmax, metric, n_valid, expand=0,
+):
+    """Exact-candidate read phase: the beam search's only job here is to
+    collect a candidate pool for robustPrune (index.h:251-262). On TPU the
+    honest pool — the true top-L of the inserted prefix — costs one tiled
+    MXU matmul over the dataset (~1 ms per 4K batch at 100K), far below
+    the graph walk it replaces, and is a strict quality upper bound on
+    what the walk finds. ``inserted`` is the device-resident validity
+    mask (read phase: the current batch is excluded by ``exclude_ids``
+    and not yet marked)."""
+    from parlayann_tpu.search.flat import flat_search_batch
+
+    safe_ids = jnp.clip(batch_ids, 0, points_data.shape[0] - 1)
+    queries = jnp.take(points_data, safe_ids, axis=0)
+    kc = min(vmax, max(L, R + 8))
+    cids, cd = flat_search_batch(
+        queries, points_data, inserted, batch_ids,
+        k=kc, metric=metric, n_valid=n_valid, select="approx",
+    )
+    cd = jnp.where(cids >= 0, cd, INF)
+    old_row = jnp.take(nbrs, safe_ids, axis=0)
+    odeg = jnp.take(degs, safe_ids, axis=0)
+    old_ok = jnp.arange(R, dtype=jnp.int32)[None, :] < odeg[:, None]
+    old_vecs = jnp.take(
+        points_data, jnp.clip(old_row, 0, points_data.shape[0] - 1), axis=0
+    )
+    old_d = jnp.where(old_ok, distance.gathered(queries, old_vecs, metric), INF)
+    cand_ids = jnp.concatenate([cids, old_row], axis=1)
+    cand_d = jnp.concatenate([cd, old_d], axis=1)
+    active = (batch_ids >= 0).astype(jnp.int32)
+    n_ins = jnp.sum(inserted.astype(jnp.int32))
+    return cand_ids, cand_d, jnp.sum(active) * kc, jnp.sum(active) * n_ins
+
+
+_exact_phase = partial(
+    jax.jit,
+    static_argnames=("R", "L", "vmax", "metric", "n_valid", "expand"),
+)(lambda *a, **k: _exact_phase_impl(*a, **k))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _mark_inserted(inserted, batch_ids):
+    wt = jnp.where(batch_ids >= 0, batch_ids, inserted.shape[0])
+    return inserted.at[wt].set(True, mode="drop")
+
+
 # fused step (production path): every device phase INCLUDING the overflow
 # α-prune in one dispatch — zero per-batch host syncs (relay latency is the
 # enemy); skipped prune chunks cost nothing via the traced lax.cond
@@ -275,12 +323,20 @@ def build_vamana_graph(
     bp: BuildParams,
     verbose: bool = False,
     profile: bool = False,
+    cand_mode: str = "exact",
 ) -> tuple[GraphIndexData, BuildStats]:
     """Build a Vamana graph over ``points``. Returns (graph, stats).
 
     ``profile=True`` runs the batch step as three separate dispatches with a
     device fence between them to fill the t_beam/t_bidirect/t_prune split
     (index.h:217-222) — slightly slower wall-clock, same result.
+
+    ``cand_mode``: how the read phase collects robustPrune candidates.
+    "exact" (default) = MXU flat top-L over the inserted prefix (see
+    ``_exact_phase_impl`` — cheaper AND a quality upper bound on the
+    walk); "beam" = the reference's graph beam search (index.h:251-262),
+    kept for parity experiments and for single_batch mode (whose
+    self-start search semantics have no prefix analogue).
     """
     n = points.n
     R, L = bp.R, bp.L
@@ -312,8 +368,12 @@ def build_vamana_graph(
         nbrs = nbrs.at[:, :deg0].set(jnp.asarray(rnd))
         degs = jnp.full((points.n_pad,), deg0, jnp.int32)
         sched, max_batch = [(0, n)], n
+        cand_mode = "beam"  # self-start search has no prefix analogue
     else:
         sched, max_batch = batch_schedule(n, n, bp.batch_cap_frac)
+    inserted = None
+    if cand_mode == "exact":
+        inserted = jnp.zeros((points.n_pad,), bool).at[0].set(True)
     for p in range(bp.num_passes):
         alpha = bp.alpha if p == bp.num_passes - 1 else 1.0
         order = rng.permutation(n).astype(np.int32)
@@ -323,15 +383,25 @@ def build_vamana_graph(
                 start = jnp.asarray(np.maximum(batch, 0))[:, None]
             batch_j = jnp.asarray(batch)
             alpha_j = jnp.float32(alpha)
+            def read_phase(nbrs, degs, batch_j):
+                if cand_mode == "exact":
+                    out = _exact_phase(
+                        nbrs, degs, points.data, batch_j, inserted, start,
+                        R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
+                    )
+                else:
+                    out = _beam_phase(
+                        nbrs, degs, points.data, batch_j, start,
+                        R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
+                        expand=2,
+                    )
+                return out
+
             if profile:
                 # split dispatches with fences: fills the phase split at the
                 # cost of per-phase relay syncs — numbers include latency
                 tb = time.perf_counter()
-                cand_ids, cand_d, v, c = _beam_phase(
-                    nbrs, degs, points.data, batch_j, start,
-                    R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
-                    expand=2,
-                )
+                cand_ids, cand_d, v, c = read_phase(nbrs, degs, batch_j)
                 fence(cand_d)
                 t_beam += time.perf_counter() - tb
                 tb = time.perf_counter()
@@ -358,19 +428,17 @@ def build_vamana_graph(
                 t_prune += time.perf_counter() - tb
                 stats_acc.append((v, c))
             else:
-                # production path: TWO pipelined dispatches per batch (beam
+                # production path: TWO pipelined dispatches per batch (read
                 # then write), nothing read back — see _write_batch note
-                cand_ids, cand_d, v, c = _beam_phase(
-                    nbrs, degs, points.data, batch_j, start,
-                    R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
-                    expand=2,
-                )
+                cand_ids, cand_d, v, c = read_phase(nbrs, degs, batch_j)
                 nbrs, degs, _ = _write_batch(
                     nbrs, degs, points.data, batch_j, cand_ids, cand_d,
                     alpha_j, R=R, metric=points.metric, n_valid=n,
                     chunk=2048, rev_chunk=4096,
                 )
                 stats_acc.append((v, c))
+            if inserted is not None and p == 0:
+                inserted = _mark_inserted(inserted, batch_j)
             if verbose and bi % 8 == 0:
                 print(f"pass {p}: batch {bi+1}/{len(sched)} ({hi}/{n})", flush=True)
 
