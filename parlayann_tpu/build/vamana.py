@@ -126,9 +126,12 @@ def _exact_phase_impl(
     safe_ids = jnp.clip(batch_ids, 0, points_data.shape[0] - 1)
     queries = jnp.take(points_data, safe_ids, axis=0)
     kc = min(vmax, max(L, R + 8))
+    # trace-time backend choice: the Pallas flat-scan kernel is ~20x the
+    # XLA select paths on TPU; its interpret fallback would crawl on CPU
+    sel = "pallas" if jax.default_backend() == "tpu" else "approx"
     cids, cd = flat_search_batch(
         queries, points_data, inserted, batch_ids,
-        k=kc, metric=metric, n_valid=n_valid, select="approx",
+        k=kc, metric=metric, n_valid=n_valid, select=sel,
     )
     cd = jnp.where(cids >= 0, cd, INF)
     old_row = jnp.take(nbrs, safe_ids, axis=0)
