@@ -110,17 +110,24 @@ def _fwd_phase_impl(
 
 
 def _exact_phase_impl(
-    nbrs, degs, points_data, batch_ids, inserted, start,
-    *, R, L, vmax, metric, n_valid, expand=0,
+    nbrs, degs, points_data, batch_ids, inserted, start, samples,
+    *, R, L, vmax, metric, n_valid, k1=8, k2=16, expand=0,
 ):
-    """Exact-candidate read phase: the beam search's only job here is to
-    collect a candidate pool for robustPrune (index.h:251-262). On TPU the
-    honest pool — the true top-L of the inserted prefix — costs one tiled
-    MXU matmul over the dataset (~1 ms per 4K batch at 100K), far below
-    the graph walk it replaces, and is a strict quality upper bound on
-    what the walk finds. ``inserted`` is the device-resident validity
-    mask (read phase: the current batch is excluded by ``exclude_ids``
-    and not yet marked)."""
+    """Multi-scale exact-candidate read phase. The beam search's only job
+    here is to collect a candidate pool for robustPrune (index.h:251-262),
+    but its visited set carries points at MANY scales — the walk from the
+    medoid passes long-range waypoints, and those are what robustPrune
+    turns into the navigable long edges. A plain exact top-L supplies only
+    the immediate neighborhood and the graph disconnects on clustered data
+    (measured: recall .49 vs .71 at Q=10 on synth100k). So the pool is the
+    HNSW-hierarchy answer computed with matmuls instead of walks: the
+    exact top-k of a ~1% sample, of a ~10% sample, and of the full
+    inserted prefix — nearest-in-a-sparse-sample IS a long-range waypoint
+    (HNSW.hpp's level construction makes the same argument). Costs ~1.1
+    full MXU scans; robustPrune's sort_dedup collapses overlap.
+
+    ``inserted`` is the device-resident validity mask (read phase: the
+    current batch is excluded by ``exclude_ids`` and not yet marked)."""
     from parlayann_tpu.search.flat import flat_search_batch
 
     safe_ids = jnp.clip(batch_ids, 0, points_data.shape[0] - 1)
@@ -128,12 +135,27 @@ def _exact_phase_impl(
     kc = min(vmax, max(L, R + 8))
     # trace-time backend choice: the Pallas flat-scan kernel is ~20x the
     # XLA select paths on TPU; its interpret fallback would crawl on CPU
-    sel = "pallas" if jax.default_backend() == "tpu" else "approx"
+    on_tpu = jax.default_backend() == "tpu"
+    sel = "pallas" if on_tpu else "approx"
     cids, cd = flat_search_batch(
         queries, points_data, inserted, batch_ids,
         k=kc, metric=metric, n_valid=n_valid, select=sel,
     )
     cd = jnp.where(cids >= 0, cd, INF)
+    scale_ids, scale_d = [cids], [cd]
+    for sids, sdata in samples:
+        kk = k2 if sdata.shape[0] > 4096 else k1
+        ssel = (sel if sdata.shape[0] > 2048 else "sort")
+        rid, rd = flat_search_batch(
+            queries, sdata, jnp.take(inserted, sids), None,
+            k=kk, metric=metric, n_valid=sdata.shape[0], select=ssel,
+        )
+        gid = jnp.where(
+            rid >= 0, jnp.take(sids, jnp.clip(rid, 0, sids.shape[0] - 1)), -1
+        )
+        rd = jnp.where((gid >= 0) & (gid != batch_ids[:, None]), rd, INF)
+        scale_ids.append(gid)
+        scale_d.append(rd)
     old_row = jnp.take(nbrs, safe_ids, axis=0)
     odeg = jnp.take(degs, safe_ids, axis=0)
     old_ok = jnp.arange(R, dtype=jnp.int32)[None, :] < odeg[:, None]
@@ -141,8 +163,8 @@ def _exact_phase_impl(
         points_data, jnp.clip(old_row, 0, points_data.shape[0] - 1), axis=0
     )
     old_d = jnp.where(old_ok, distance.gathered(queries, old_vecs, metric), INF)
-    cand_ids = jnp.concatenate([cids, old_row], axis=1)
-    cand_d = jnp.concatenate([cd, old_d], axis=1)
+    cand_ids = jnp.concatenate(scale_ids + [old_row], axis=1)
+    cand_d = jnp.concatenate(scale_d + [old_d], axis=1)
     active = (batch_ids >= 0).astype(jnp.int32)
     n_ins = jnp.sum(inserted.astype(jnp.int32))
     return cand_ids, cand_d, jnp.sum(active) * kc, jnp.sum(active) * n_ins
@@ -150,8 +172,40 @@ def _exact_phase_impl(
 
 _exact_phase = partial(
     jax.jit,
-    static_argnames=("R", "L", "vmax", "metric", "n_valid", "expand"),
+    static_argnames=("R", "L", "vmax", "metric", "n_valid", "k1", "k2",
+                     "expand"),
 )(lambda *a, **k: _exact_phase_impl(*a, **k))
+
+
+def _scale_samples(n, rng, points_data):
+    """Waypoint sample ladder: uniform samples at ~4x spacing from n/4
+    down to ~512 (pow2 sizes for stable compile shapes), gathered once per
+    build -> list of (global_ids, data). The nearest-k within each sample
+    plays the role of the beam walk's mid-trajectory visited nodes at that
+    radius; 4x spacing mirrors HNSW's level geometry. Total extra scan
+    cost ~ sum(n/4^i) ~ n/3. Empty below the scale where the full top-L
+    already covers a few percent of the data."""
+    if n < 8192:
+        return []
+    sizes = []
+    s = n // 4
+    while s >= 384:
+        p = min(65536, max(512, _pow2_floor(s)))
+        if not sizes or p < sizes[-1]:
+            sizes.append(p)
+        s //= 4
+    out = []
+    for p in sizes:
+        ids = jnp.asarray(rng.choice(n, p, replace=False).astype(np.int32))
+        out.append((ids, jnp.take(points_data, ids, axis=0)))
+    return out
+
+
+def _pow2_floor(x: int) -> int:
+    p = 1
+    while p * 2 <= x:
+        p *= 2
+    return p
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -326,7 +380,7 @@ def build_vamana_graph(
     bp: BuildParams,
     verbose: bool = False,
     profile: bool = False,
-    cand_mode: str = "exact",
+    cand_mode: str = "beam",
 ) -> tuple[GraphIndexData, BuildStats]:
     """Build a Vamana graph over ``points``. Returns (graph, stats).
 
@@ -335,11 +389,16 @@ def build_vamana_graph(
     (index.h:217-222) — slightly slower wall-clock, same result.
 
     ``cand_mode``: how the read phase collects robustPrune candidates.
-    "exact" (default) = MXU flat top-L over the inserted prefix (see
-    ``_exact_phase_impl`` — cheaper AND a quality upper bound on the
-    walk); "beam" = the reference's graph beam search (index.h:251-262),
-    kept for parity experiments and for single_batch mode (whose
-    self-start search semantics have no prefix analogue).
+    "beam" (default) = the reference's graph beam search (index.h:251-262).
+    "exact" = MXU multi-scale flat top-k over the inserted prefix plus a
+    waypoint sample ladder (see ``_exact_phase_impl``) — similar steady
+    build time, but the measured A/B on clustered 100K (BENCHES.md round 3)
+    gives a slightly worse graph: recall .9519 @ 175K QPS vs the walk's
+    .9525 @ 203K at Q=8 with the sampled entry tier. The walk's visited
+    set supplies intermediate-shell candidates at exactly the query
+    trajectory's density, which the fixed sample ladder only approximates.
+    single_batch mode always uses "beam" (its self-start search semantics
+    have no prefix analogue).
     """
     n = points.n
     R, L = bp.R, bp.L
@@ -375,8 +434,12 @@ def build_vamana_graph(
     else:
         sched, max_batch = batch_schedule(n, n, bp.batch_cap_frac)
     inserted = None
+    samples = []
     if cand_mode == "exact":
         inserted = jnp.zeros((points.n_pad,), bool).at[0].set(True)
+        samples = _scale_samples(
+            n, np.random.default_rng(bp.seed + 7919), points.data
+        )
     for p in range(bp.num_passes):
         alpha = bp.alpha if p == bp.num_passes - 1 else 1.0
         order = rng.permutation(n).astype(np.int32)
@@ -390,6 +453,7 @@ def build_vamana_graph(
                 if cand_mode == "exact":
                     out = _exact_phase(
                         nbrs, degs, points.data, batch_j, inserted, start,
+                        samples,
                         R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
                     )
                 else:

@@ -31,6 +31,28 @@ from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.utils.arrays import as_device
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("metric",))
+def _entry_top1(q, evecs, eids, *, metric: Metric):
+    """Exact nearest sampled point per query -> (B, 1) start ids. One
+    (B, E) MXU matmul with a fused row argmin (a pure reduction, so XLA
+    never materializes the tile in HBM)."""
+    qf = q.astype(jnp.float32)
+    ev = evecs.astype(jnp.float32)
+    dot = jax.lax.dot_general(
+        qf, ev, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.MIPS:
+        dist = -dot
+    else:
+        dist = jnp.sum(ev * ev, axis=1)[None, :] - 2.0 * dot
+    j = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    return jnp.take(eids, j)[:, None]
+
+
 @dataclasses.dataclass
 class Index:
     points: PointSet
@@ -51,6 +73,15 @@ class Index:
     # kernel (ops/pallas/fusedbeam.py): neighbor vectors + id byte planes
     inline_ext: Optional[object] = None
     use_fused: bool = True
+    # sampled entry tier: per-query exact top-1 over a fixed ~4K uniform
+    # sample (one fused MXU matmul+argmin, ~1 ms per 10K queries) replaces
+    # the single-medoid start — the query enters the graph a few hops from
+    # its target (the same economics as HNSW's upper levels, computed
+    # dense). use_entry=False restores reference start semantics.
+    entry_ids: Optional[object] = None
+    entry_vecs: Optional[object] = None
+    use_entry: bool = True
+    entry_min_n: int = 20_000  # below this the medoid start is fine
     _inline_bits_src: Optional[int] = None  # id() of inline_bits's source
 
     @staticmethod
@@ -155,6 +186,19 @@ class Index:
         )
         return self.inline_ext
 
+    def build_entry_cache(self, E: int = 4096, seed: int = 0):
+        """Fixed uniform sample for the entry tier (see field docstring).
+        Vectors are gathered once from the full-precision points; the
+        per-search cost is one (B, E) matmul + row argmin."""
+        E = min(E, self.points.n)
+        if self.entry_ids is not None and self.entry_ids.shape[0] == E:
+            return
+        ids = np.random.default_rng(seed).choice(
+            self.points.n, E, replace=False
+        ).astype(np.int32)
+        self.entry_ids = jnp.asarray(ids)
+        self.entry_vecs = jnp.take(self.points.data, self.entry_ids, axis=0)
+
     def build_inline_bits_cache(self, src: PointSet):
         """Packed-word inline cache for the 1-bit tiers (n, R, W) uint32 —
         32x smaller than the f32 inline, so it fits HBM at n where the
@@ -215,6 +259,12 @@ class Index:
                 0, self.points.n, (q_full.shape[0], random_starts)
             )
             start_arr = jnp.asarray(rs, dtype=jnp.int32)
+        elif self.use_entry and self.points.n >= self.entry_min_n:
+            self.build_entry_cache()
+            start_arr = _entry_top1(
+                q_full, self.entry_vecs, self.entry_ids,
+                metric=self.points.metric,
+            )
         else:
             start_arr = jnp.asarray([self.start_point], dtype=jnp.int32)
         # tier priority: 1-bit > JL > 2-bit > 4-bit > scalar-q > full.
@@ -250,9 +300,17 @@ class Index:
             # (no int8 tier, d < R8, multi-expand, or bit tiers).
             L = max(qp.beamSize, k)
             B = q_full.shape[0]
+            # XLA pins the while-loop beam state (two (B, pow2(L)) carries)
+            # in VMEM for the fused kernel; past ~10MB the step's scoped
+            # VMEM allocation overflows the 16MB core limit (observed at
+            # B=10240, L>=129). Large beams fall back to the hybrid path.
+            _wb = 1
+            while _wb < max(L, 8):
+                _wb *= 2
+            fused_state_ok = B * _wb * 8 <= 10 * 1024 * 1024
             ext = (
                 self.build_inline_ext_cache()
-                if (self.use_fused and expand == 1
+                if (self.use_fused and expand == 1 and fused_state_ok
                     and qp.degree_limit >= self.graph.max_degree) else None
             )
             if ext is not None:

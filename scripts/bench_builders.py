@@ -118,6 +118,8 @@ def main():
         bp = BuildParams(R=20, L=50, alpha=0.9, m_l=0.34)
         t0 = time.perf_counter()
         idx, dt = build_hnsw_graph(ps, bp, verbose=False)
+        print(f"HNSW build cold: {dt:.2f}s", flush=True)
+        idx, dt = build_hnsw_graph(ps, bp, verbose=False)
         print(f"HNSW build: {dt:.2f}s", flush=True)
         for ef in (12, 16, 22, 30, 50):
             best = 1e9

@@ -195,3 +195,34 @@ def test_index_random_starts(rng):
     ids, dists, _ = idx.batch_search(q, k=5, beam_size=16, random_starts=4)
     assert ids.shape == (16, 5)
     assert (np.asarray(ids) < n).all()
+
+
+def test_index_entry_tier(rng):
+    """Sampled entry tier: per-query exact top-1 over the sample replaces
+    the medoid start and must not hurt recall on an easy graph; with
+    E=n the start IS the true nearest neighbor."""
+    from parlayann_tpu.index import Index
+    from parlayann_tpu.index import _entry_top1
+
+    n, d, k = 400, 12, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((24, d)).astype(np.float32)
+    ps = PointSet.from_numpy(x)
+    g = _knn_graph(ps, 8)
+    gt_ids, _ = exact.exact_knn(q, ps, k, chunk=64)
+
+    idx = Index(points=ps, graph=g, entry_min_n=1)
+    idx.build_entry_cache(E=n)
+    # with the full set as the sample, the entry point is the 1-NN
+    starts = _entry_top1(jnp.asarray(q), idx.entry_vecs, idx.entry_ids,
+                         metric=Metric.L2)
+    assert (np.asarray(starts)[:, 0] == np.asarray(gt_ids)[:, 0]).all()
+
+    ids, _, _ = idx.batch_search(q, k=k, beam_size=20)
+    r_entry = _recall(np.asarray(ids), np.asarray(gt_ids))
+
+    idx2 = Index(points=ps, graph=g, use_entry=False)
+    ids2, _, _ = idx2.batch_search(q, k=k, beam_size=20)
+    r_medoid = _recall(np.asarray(ids2), np.asarray(gt_ids))
+    assert r_entry >= r_medoid - 0.02
+    assert r_entry > 0.8
