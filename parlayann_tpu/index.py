@@ -53,6 +53,54 @@ def _entry_top1(q, evecs, eids, *, metric: Metric):
     return jnp.take(eids, j)[:, None]
 
 
+@_partial(
+    jax.jit,
+    static_argnames=("metric", "tier_bits", "k", "L", "cut", "limit",
+                     "n_valid", "pool", "ladder_spec", "use_entry"),
+)
+def _fused_search_1d(
+    q_full, evecs, eids, starts, slope, offset, tier_data, ext,
+    points_full, *, metric, tier_bits, k, L, cut, limit, n_valid, pool,
+    ladder_spec, use_entry,
+):
+    """The whole fused-path search as ONE jitted program: entry top-1 (or
+    caller starts) -> query translation into the tier domain -> fused
+    Pallas beam -> full-precision rerank. Each extra dispatch through the
+    remote TPU relay costs milliseconds of launch latency at 10K-query
+    batches, so the previous entry/translate/beam/rerank chain of separate
+    dispatches was ~15-20% of end-to-end search time."""
+    from parlayann_tpu.ops.pallas.fusedbeam import beam_search_fused
+
+    qf = q_full.astype(jnp.float32)
+    if use_entry:
+        dot = jax.lax.dot_general(
+            qf, evecs.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric is Metric.MIPS:
+            dist = -dot
+        else:
+            ev = evecs.astype(jnp.float32)
+            dist = jnp.sum(ev * ev, axis=1)[None, :] - 2.0 * dot
+        j = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        starts = jnp.take(eids, j)[:, None]
+    if tier_bits >= 32 or slope is None:
+        q_t = qf
+    elif metric is Metric.L2:
+        q_t = quantize.euclidean_translate(qf, slope, offset, tier_bits)
+    else:
+        q_t = quantize.mips_translate(qf, slope, offset, tier_bits)
+    fid, fdist, nv, cmps, n_left = beam_search_fused(
+        q_t.astype(jnp.float32), tier_data, ext, starts, metric=metric,
+        n_valid=n_valid, k=k, L=L, cut=cut, limit=limit,
+        ladder_spec=ladder_spec,
+    )
+    ids, dists = rerank_topk(
+        qf, points_full, fid, k=k, pool=pool, metric=metric,
+    )
+    return ids, dists, nv, cmps, n_left
+
+
 @dataclasses.dataclass
 class Index:
     points: PointSet
@@ -82,6 +130,9 @@ class Index:
     entry_vecs: Optional[object] = None
     use_entry: bool = True
     entry_min_n: int = 20_000  # below this the medoid start is fine
+    # fused-path straggler compaction ladder ((div, budget), ...) — see
+    # beam_search_fused; () = the kernel's default ladder
+    ladder_spec: tuple = ()
     _inline_bits_src: Optional[int] = None  # id() of inline_bits's source
 
     @staticmethod
@@ -254,19 +305,29 @@ class Index:
         ).resolved(self.graph.max_degree, self.points.n)
         # never round-trip device-resident queries (as_device docstring)
         q_full = as_device(queries)
+        entry_start = False
         if random_starts > 0:
             rs = np.random.default_rng(seed).integers(
                 0, self.points.n, (q_full.shape[0], random_starts)
             )
             start_arr = jnp.asarray(rs, dtype=jnp.int32)
         elif self.use_entry and self.points.n >= self.entry_min_n:
+            # entry-tier start: computed lazily — the fused path folds the
+            # top-1 matmul into its single dispatch (_fused_search_1d)
             self.build_entry_cache()
-            start_arr = _entry_top1(
-                q_full, self.entry_vecs, self.entry_ids,
-                metric=self.points.metric,
-            )
+            entry_start = True
+            start_arr = None
         else:
             start_arr = jnp.asarray([self.start_point], dtype=jnp.int32)
+
+        def _starts():
+            nonlocal start_arr
+            if start_arr is None:
+                start_arr = _entry_top1(
+                    q_full, self.entry_vecs, self.entry_ids,
+                    metric=self.points.metric,
+                )
+            return start_arr
         # tier priority: 1-bit > JL > 2-bit > 4-bit > scalar-q > full.
         # Coarse tiers (bit/JL-bit/2-bit) have huge tie classes, so the
         # metric cut rule is unusable: search with k=0 (pure beam) and let
@@ -314,24 +375,22 @@ class Index:
                     and qp.degree_limit >= self.graph.max_degree) else None
             )
             if ext is not None:
-                from parlayann_tpu.ops.pallas.fusedbeam import (
-                    beam_search_fused,
-                )
                 from parlayann_tpu.search.fused import FusedResult
 
                 tier = self.qpoints
-                q_t = quantize.translate_query(q_full, tier).astype(
-                    jnp.float32
-                )
-                fid, fdist, nv, cmps, n_left = beam_search_fused(
-                    q_t, tier.data, ext, start_arr,
-                    metric=tier.metric, n_valid=tier.n, k=k, L=L,
-                    cut=qp.cut, limit=qp.limit,
-                )
                 pool = min(max(k * rerank_factor, k), L)
-                ids, dists = rerank_topk(
-                    q_full.astype(jnp.float32), self.points.data, fid,
-                    k=k, pool=pool, metric=self.points.metric,
+                dummy_i = jnp.zeros((1,), jnp.int32)
+                dummy_f = jnp.zeros((1, q_full.shape[1]), jnp.float32)
+                ids, dists, nv, cmps, n_left = _fused_search_1d(
+                    q_full,
+                    self.entry_vecs if entry_start else dummy_f,
+                    self.entry_ids if entry_start else dummy_i,
+                    start_arr if start_arr is not None else dummy_i,
+                    tier.quant_slope, tier.quant_offset, tier.data, ext,
+                    self.points.data,
+                    metric=tier.metric, tier_bits=tier.bits, k=k, L=L,
+                    cut=qp.cut, limit=qp.limit, n_valid=tier.n, pool=pool,
+                    ladder_spec=self.ladder_spec, use_entry=entry_start,
                 )
                 res = FusedResult(ids, dists, nv, cmps, n_left)
                 return ids, dists, res
@@ -347,7 +406,7 @@ class Index:
             res = fused_search(
                 q_full.astype(jnp.float32), ps.data, self.points.data,
                 self.graph.neighbors, self.graph.degrees,
-                start_arr,
+                _starts(),
                 inline, ps.quant_slope, ps.quant_offset,
                 metric=ps.metric, n_valid=ps.n, k=k, L=L, cut=qp.cut,
                 limit=qp.limit, degree_limit=qp.degree_limit, expand=expand,
@@ -368,7 +427,7 @@ class Index:
             use_inline=self.use_inline and inline is not None, bits=bits,
             expand_group=expand_group,
         )
-        start = start_arr
+        start = _starts()
         res = beam_search_batch(
             q, ps.data, self.graph.neighbors, self.graph.degrees,
             start, None, inline, limit=qp.limit, **common,

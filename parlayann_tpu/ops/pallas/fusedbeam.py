@@ -154,9 +154,15 @@ def _step_kernel(
         )
 
     import os
-    # experiment knobs, captured at trace time (A/B only; defaults ship)
+    # experiment knobs, captured at trace time (A/B only; defaults ship).
+    # DMA_COND=0 (default): every row issues its copy unconditionally
+    # (frozen rows clamp to row 0 and are masked by exp_ok in phase B) —
+    # the branch-free issue path measures ~4% faster and is what makes
+    # the pass-through wait/lookahead bookkeeping exact. The kernel is
+    # descriptor-rate bound (~156 ns/row, row SIZE is free from 3KB to
+    # 17KB — measured), so the win ceiling here is small by design.
     _prio = os.environ.get("PARLAYANN_DMA_PRIO", "0") == "1"
-    _cond = os.environ.get("PARLAYANN_DMA_COND", "1") == "1"
+    _cond = os.environ.get("PARLAYANN_DMA_COND", "0") == "1"
 
     def dma_start(slot, gg, j):
         # frozen queries (exp id -1) issue no DMA: the wait site reads the
@@ -191,6 +197,14 @@ def _step_kernel(
             for j in range(G):
                 dma_start(slot, gg, j)
 
+    # warm the ring on the first grid block only; every later block's
+    # first n_buf groups were issued by its predecessor (the streaming
+    # lookahead when active, the pass-through lookahead when frozen)
+    @pl.when(bi == 0)
+    def _():
+        for s in range(n_buf):
+            lookahead(s)
+
     @pl.when(n_active == 0)
     def _():
         obdist[:] = bdist_ref[:]
@@ -198,11 +212,18 @@ def _step_kernel(
         onv[:] = nv_ref[:]
         ocmps[:] = cmps_ref[:]
         onext[:] = expv_ref[:]
-        # this block's own rows are all frozen (start AND wait skipped by
-        # the row condition), but the next block still waits on its first
-        # n_buf groups — issue that lookahead even when passing through
+        # this block's first n_buf groups are in flight (warm-up
+        # invariant above). Under unconditional DMA they must be
+        # consumed here — an unmatched start would alias a later wait on
+        # the same ring slot; under conditional DMA the row predicate
+        # makes these waits no-ops. Either way the next block still
+        # expects ITS first n_buf groups issued.
         for s in range(n_buf):
-            lookahead(g0 + n_grp + s)
+            gg = g0 + s
+            slot = jax.lax.rem(gg, n_buf)
+            for j in range(G):
+                dma_wait(slot, gg, j)
+            lookahead(gg + n_grp)
 
     @pl.when(n_active > 0)
     def _active_block():
@@ -225,13 +246,6 @@ def _step_body(
     G, n_buf, ablate,
 ):
     n_grp = block_b // G
-
-    # warm the ring only on the first grid block; later blocks' first
-    # n_buf groups were issued by the previous block's lookahead
-    @pl.when(bi == 0)
-    def _():
-        for s in range(n_buf):
-            lookahead(s)
 
     # ---- phase A: per-group DMA + row-local compute -> block scratch ----
     def loop(g, _):
@@ -408,7 +422,7 @@ def fused_step(
     cmps,  # (B, 1) int32
     inline_ext,  # (n_pad, R8 + 8, d) int8
     *, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit,
-    block_b=256, G=8, n_buf=8, interpret=False, ablate="full",
+    block_b=512, G=16, n_buf=8, interpret=False, ablate="full",
 ):
     B = queries.shape[0]
     if jax.default_backend() != "tpu":
@@ -459,7 +473,8 @@ def fused_step(
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "n_valid", "k", "L", "cut", "limit",
-                     "max_steps", "block_b", "G", "n_buf", "compact"),
+                     "max_steps", "block_b", "G", "n_buf", "compact",
+                     "ladder_spec"),
 )
 def beam_search_fused(
     queries,  # (B, d) — queries in the TIER's domain, f32 values
@@ -474,10 +489,11 @@ def beam_search_fused(
     cut: float = 1.35,
     limit: int = 2**30,
     max_steps: int = 0,
-    block_b: int = 256,
-    G: int = 8,
+    block_b: int = 512,
+    G: int = 16,
     n_buf: int = 8,
     compact: bool = True,
+    ladder_spec: tuple = (),
 ):
     """Drive ``fused_step`` to convergence -> (beam_ids (B, L) int32,
     beam_dists (B, L) f32, num_visited, dist_cmps, n_left). The while loop
@@ -596,13 +612,29 @@ def beam_search_fused(
         )
         return exp_ids, bdist, bpack, nv, cmps
 
-    if compact and B >= 4 * block_b and max_steps > L + 8:
+    # default ladder: measured on clustered 100K (scripts/diag_ladder.py),
+    # recall saturates ~2 steps BEFORE the cut-rule declares convergence
+    # (L=10: .9525 at step 8, .9552 converged at ~12) and stragglers
+    # collapse fast (step 10: 68%, step 12: 0.2% active) — so at
+    # production batch sizes stage 1 runs L+2 full-width steps and the
+    # 4x/16x stages mop up. Small batches (< 4096) keep the generous
+    # budgets: their narrow tail stages can't absorb straggler counts.
+    if ladder_spec:
+        spec = ladder_spec
+    elif B0 >= 4096:
+        spec = ((1, L + 2), (4, L), (16, max_steps))
+    else:
+        spec = ((1, L + 8), (4, 2 * L + 16), (16, max_steps))
+    if compact and B >= 2 * block_b and max_steps > spec[0][1]:
+        # ladder_spec: ((div, budget), ...) — stage i runs ceil(B/div)
+        # rows (block-rounded) for ``budget`` steps. Widths must cover the
+        # still-active count at each hand-off or tail queries are cut
+        # short (n_left makes that visible, never silent).
         ladder = [
-            (B, L + 8),
-            (max(block_b, ((B // 4 + block_b - 1) // block_b) * block_b),
-             2 * L + 16),
-            (max(block_b, ((B // 16 + block_b - 1) // block_b) * block_b),
-             max_steps),
+            (max(block_b,
+                 ((B // div + block_b - 1) // block_b) * block_b),
+             budget)
+            for div, budget in spec
         ]
         # drop degenerate (non-shrinking) stages
         ladder = [s for i, s in enumerate(ladder)
