@@ -125,6 +125,12 @@ def main():
     # issue overhead in the Pallas inline kernel over 4 queries)
     egroup = int(os.environ.get("BENCH_EXPAND_GROUP", 4))
 
+    # sustained-throughput timing (reference time_loop parity): R
+    # back-to-back searches, one fence — amortizes the relay's measured
+    # ~26 ms flat dispatch+readback RTT, which a production TPU host
+    # does not pay (see Index.batch_search_timed)
+    rounds = int(os.environ.get("BENCH_ROUNDS", 10))
+
     def sweep(idx, beams, tag):
         """Beam sweep -> (best ≥.95 row or best-recall row, all rows)."""
         best = (0, 0.0, 0.0)  # (beam, recall, qps)
@@ -136,7 +142,7 @@ def main():
             for _ in range(3):
                 ids, dists, res, dt_i = idx.batch_search_timed(
                     Q, k=k, beam_size=beam, two_phase=True,
-                    expand_group=egroup,
+                    expand_group=egroup, rounds=rounds,
                 )
                 dt = min(dt, dt_i)
             rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, k)

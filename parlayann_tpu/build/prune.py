@@ -83,10 +83,15 @@ def _occlusion_loop(cand_ids, cand_dists, cand_vecs, alpha, R: int, metric: Metr
     the first build call when A/B-ing kernel vs XLA."""
     import os
 
-    if os.environ.get("PARLAYANN_OCCLUDE", "kernel") != "xla":
+    B, C = cand_ids.shape
+    d = cand_vecs.shape[2]
+    # kernel capacity: the (block, C, C) pairwise + vecs buffers need an
+    # 8-row block inside the ~8MB VMEM budget; wider candidate sets (e.g.
+    # R=128 L=256 builds) fall back to the XLA path instead of raising
+    kernel_fits = (8 << 20) // (4 * C * (C + d)) >= 8
+    if kernel_fits and os.environ.get("PARLAYANN_OCCLUDE", "kernel") != "xla":
         from parlayann_tpu.ops.pallas.occlude import occlusion_rounds
 
-        B, C = cand_ids.shape
         rounds = occlusion_rounds(
             cand_dists, cand_vecs, alpha, R=R, metric=metric
         )

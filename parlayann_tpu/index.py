@@ -442,21 +442,34 @@ class Index:
             ids, dists = top_k_from_beam(res, k)
         return ids, dists, res
 
-    def batch_search_timed(self, queries, warmup: bool = True, **kw):
+    def batch_search_timed(self, queries, warmup: bool = True,
+                           rounds: int = 1, **kw):
         """Timed steady-state search (compile + host->device query upload
         excluded, matching the reference's query-only timer,
-        check_nn_recall.h:41-50) -> (ids, dists, res, seconds)."""
+        check_nn_recall.h:41-50) -> (ids, dists, res, seconds-per-round).
+
+        ``rounds``: back-to-back searches with ONE final fence, like the
+        reference's time_loop (parse_results.h) — the per-round time then
+        reflects sustained device throughput. This matters enormously in
+        this dev environment: the TPU sits behind a relay whose
+        dispatch+readback round trip is a measured ~26 ms FLAT (a trivial
+        add pays the same), while e.g. the full flat scan's device time is
+        ~2 ms. Enqueues are async (~0.3 ms), so R rounds + one fence pays
+        the RTT once. On a production TPU host the RTT is microseconds and
+        rounds=1 measures the same thing."""
         queries = as_device(queries)
         queries.block_until_ready()
         if warmup:
             out = self.batch_search(queries, **kw)
             _ = np.asarray(out[0][:1])  # readback fence
         t0 = time.perf_counter()
-        out = self.batch_search(queries, **kw)
+        out = None
+        for _ in range(rounds):
+            out = self.batch_search(queries, **kw)
         # fence with a tiny host readback: block_until_ready has been
         # observed to return early through the remote TPU relay
         _ = np.asarray(out[0][:1])
-        dt = time.perf_counter() - t0
+        dt = (time.perf_counter() - t0) / rounds
         return (*out, dt)
 
     def batch_search_from_string(self, queries: bytes, k: int = 10,

@@ -52,11 +52,13 @@ _INF = float(INF)
 
 def _kernel(
     q_ref,  # (Bt, d) f32 — queries pre-scaled by -2 (L2) / -1 (MIPS)
-    x_ref,  # (C, d) f32|int8
-    bias_ref,  # (1, C) f32 (||x||^2 + INF masking; 0/INF for MIPS)
+    x_ref,  # (d, S*C) bf16|f32 — TRANSPOSED + pre-cast outside: the MXU
+    #          wants the contraction on lhs-last/rhs-first; a (C, d) tile
+    #          forces an in-kernel transpose of every chunk
+    bias_ref,  # (1, S*C) f32 (||x||^2 + INF masking; 0/INF for MIPS)
     accd_ref,  # out (Bt, 128*M) f32
     acci_ref,  # out (Bt, 128*M) int32
-    *, Bt, C, d, M, metric, precision,
+    *, Bt, C, S, d, M, metric, precision,
 ):
     c = pl.program_id(1)
 
@@ -65,47 +67,48 @@ def _kernel(
         accd_ref[:] = jnp.full((Bt, 128 * M), _INF, jnp.float32)
         acci_ref[:] = jnp.full((Bt, 128 * M), -1, jnp.int32)
 
-    x = x_ref[:].astype(jnp.float32)  # (C, d)
     q = q_ref[:]
-    if precision == "exact":
-        dot = jax.lax.dot_general(
-            q, x, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        dot = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    dist = dot + bias_ref[0, :][None, :]  # (Bt, C)
-
-    ns = C // 128
-    # pass A: per-lane-class min
-    mval = dist[:, :128]
-    for s in range(1, ns):
-        mval = jnp.minimum(mval, dist[:, s * 128:(s + 1) * 128])
-    # pass B: winning slice index per lane (later slice wins ties — any
-    # argmin is valid; duplicate ids are impossible across classes)
-    ms = jnp.zeros((Bt, 128), jnp.int32)
-    for s in range(1, ns):
-        hit = dist[:, s * 128:(s + 1) * 128] == mval
-        ms = jnp.where(hit, s, ms)
+    if precision != "exact":
+        q = q.astype(jnp.bfloat16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 128), 1)
-    mid = c * C + ms * 128 + lane
+    # S sub-chunks per grid step amortize the per-step fixed cost
+    for s2 in range(S):
+        x = x_ref[:, pl.ds(s2 * C, C)]  # (d, C), matmul dtype
+        if precision == "exact":
+            dot = jax.lax.dot_general(
+                q, x, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dot = jax.lax.dot_general(
+                q, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dist = dot + bias_ref[0, pl.ds(s2 * C, C)][None, :]  # (Bt, C)
 
-    # bubble insert into the M-deep per-lane accumulator
-    cv, ci = mval, mid
-    for m in range(M):
-        sl = slice(m * 128, (m + 1) * 128)
-        ad = accd_ref[:, sl]
-        ai = acci_ref[:, sl]
-        w = cv < ad
-        accd_ref[:, sl] = jnp.where(w, cv, ad)
-        acci_ref[:, sl] = jnp.where(w, ci, ai)
-        cv = jnp.where(w, ad, cv)
-        ci = jnp.where(w, ai, ci)
+        ns = C // 128
+        # pass A+B fused: per-lane-class running (min, slice) pair
+        mval = dist[:, :128]
+        ms = jnp.zeros((Bt, 128), jnp.int32)
+        for s in range(1, ns):
+            dsl = dist[:, s * 128:(s + 1) * 128]
+            hit = dsl < mval
+            mval = jnp.where(hit, dsl, mval)
+            ms = jnp.where(hit, s, ms)
+        mid = (c * S + s2) * C + ms * 128 + lane
+
+        # bubble insert into the M-deep per-lane accumulator
+        cv, ci = mval, mid
+        for m in range(M):
+            sl = slice(m * 128, (m + 1) * 128)
+            ad = accd_ref[:, sl]
+            ai = acci_ref[:, sl]
+            w = cv < ad
+            accd_ref[:, sl] = jnp.where(w, cv, ad)
+            acci_ref[:, sl] = jnp.where(w, ci, ai)
+            cv = jnp.where(w, ad, cv)
+            ci = jnp.where(w, ai, ci)
 
 
 def _pow2(x: int) -> int:
@@ -117,8 +120,8 @@ def _pow2(x: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "n_valid", "Bt", "C", "M", "precision",
-                     "interpret"),
+    static_argnames=("k", "metric", "n_valid", "Bt", "C", "S", "M",
+                     "precision", "interpret"),
 )
 def flat_topk_pallas(
     queries,  # (B, d) f32
@@ -131,6 +134,7 @@ def flat_topk_pallas(
     n_valid: int,
     Bt: int = 512,
     C: int = 2048,
+    S: int = 4,
     M: int = 0,
     precision: str = "fast",
     interpret: bool = False,
@@ -150,7 +154,11 @@ def flat_topk_pallas(
     qs = qf * scale
     if B != B0:
         qs = jnp.pad(qs, ((0, B - B0), (0, 0)))
-    NC = -(-n_pad // C) * C
+    # sub-chunks per grid step amortize the fixed per-step cost; shrink S
+    # before C so small datasets keep full tiles
+    while S > 1 and S * C > max(n_pad, C):
+        S //= 2
+    NC = -(-n_pad // (S * C)) * (S * C)
     if NC != n_pad:
         points_data = jnp.pad(points_data, ((0, NC - n_pad), (0, 0)))
     if metric is Metric.MIPS:
@@ -163,18 +171,24 @@ def flat_topk_pallas(
     if valid_mask is not None:
         ok = ok & jnp.pad(valid_mask, (0, NC - valid_mask.shape[0]))
     bias = jnp.where(ok, bias, _INF).reshape(1, NC)
+    # pre-cast + pre-transpose the dataset ONCE (a per-tile int8 upcast
+    # and transpose inside the kernel cost more than the tournament)
+    xmm = points_data.astype(
+        jnp.float32 if precision == "exact" else jnp.bfloat16
+    ).T
 
     kernel = functools.partial(
-        _kernel, Bt=Bt, C=C, d=d, M=M, metric=metric, precision=precision,
+        _kernel, Bt=Bt, C=C, S=S, d=d, M=M, metric=metric,
+        precision=precision,
     )
-    grid = (B // Bt, NC // C)
+    grid = (B // Bt, NC // (S * C))
     accd, acci = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((Bt, d), lambda b, c: (b, 0)),
-            pl.BlockSpec((C, d), lambda b, c: (c, 0)),
-            pl.BlockSpec((1, C), lambda b, c: (0, c)),
+            pl.BlockSpec((d, S * C), lambda b, c: (0, c)),
+            pl.BlockSpec((1, S * C), lambda b, c: (0, c)),
         ],
         out_specs=[
             pl.BlockSpec((Bt, 128 * M), lambda b, c: (b, 0)),
@@ -188,7 +202,7 @@ def flat_topk_pallas(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qs, points_data, bias)
+    )(qs, xmm, bias)
 
     accd = accd[:B0]
     acci = acci[:B0]
