@@ -1,0 +1,307 @@
+"""Cluster index: the TPU-native two-level structure (build side).
+
+Why this exists: the measured physics of graph beam search on TPU. The
+fused vertex-level kernel (ops/pallas/fusedbeam.py) is bounded below by
+the termination rule — every beam entry inside the cut threshold must be
+expanded, one sequential DMA-dependent step each, so a k=10 search costs
+~L>=10 lock-step kernel rounds no matter how dense the graph (measured:
+R=64 and R=96 graphs need the same ~12 rounds). Meanwhile a DMA row is
+priced by DESCRIPTOR, not bytes (3KB and 17KB rows cost the same), and
+the MXU scores thousands of candidates per microsecond.
+
+So move the walk one level up: partition the points into clusters of m
+(~64), give each cluster an 11KB row holding ALL member vectors + member
+ids + its Rc nearest-cluster centroid vectors + their ids, and beam over
+CLUSTERS. One expansion = one descriptor = m scored result candidates
+plus Rc scored navigation candidates. The result pool (point top-k) is
+fed as a side effect and needs no expansions of its own, so the
+termination rule prices expansions in clusters: ~4-6 rounds instead of
+~12. Clusters partition the points, so the point pool needs NO dedup at
+all (a cluster is expanded at most once — the cluster beam dedups ids).
+
+This is the DiskANN sector-layout idea (one IO = one neighborhood-sized
+payload) fused with an IVF partition, recast for a machine whose "IO" is
+a DMA descriptor and whose distance unit is a 128x128 systolic matmul.
+Reference counterparts: the two-level QQ filter search
+(beamSearch.h:119-146) and PointRange re-quantization (point_range.h),
+composed into one structure rather than translated.
+
+Build = k-means (MXU Lloyd iterations) + capacity-balanced assignment +
+centroid k-NN adjacency + one gather into the packed ext rows: a few
+full-data matmul scans, no graph refinement loop — seconds, not minutes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parlayann_tpu.types import Metric
+from parlayann_tpu.data.pointset import PointSet
+from parlayann_tpu.ops import quantize
+from parlayann_tpu.ops.distance import INF
+from parlayann_tpu.search.flat import flat_search_batch
+
+
+def _pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "n_valid", "chunk"))
+def _assign_chunk(pts, cents, *, k, metric, n_valid, chunk):
+    return flat_search_batch(
+        pts, cents, k=k, metric=metric, n_valid=n_valid, chunk=chunk,
+        select="sort",
+    )
+
+
+def _assign_all(data_f32, n, cents, C, k, metric, step=16384):
+    """Nearest-k centroids per point -> (ids (n, k), dists (n, k)) numpy.
+    Chunked over points so the (chunk, C) distance tile stays small."""
+    ids_out = np.empty((n, k), np.int32)
+    d_out = np.empty((n, k), np.float32)
+    Cp = cents.shape[0]
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        w = e - s
+        blk = data_f32[s:e]
+        if w < step:
+            blk = jnp.pad(blk, ((0, step - w), (0, 0)))
+        ids, ds = _assign_chunk(
+            blk, cents, k=k, metric=metric, n_valid=C, chunk=min(Cp, 32768),
+        )
+        ids_out[s:e] = np.asarray(ids[:w])
+        d_out[s:e] = np.asarray(ds[:w])
+    return ids_out, d_out
+
+
+@partial(jax.jit, static_argnames=("C",))
+def _centroid_update(data_chunk, assign_chunk, *, C):
+    """Accumulate per-cluster vector sums + counts for one point chunk via
+    a one-hot matmul (scatter-free: TPU scatters are ~1000x lane ops)."""
+    oh = (
+        assign_chunk[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)  # (chunk, C)
+    sums = jax.lax.dot_general(
+        oh, data_chunk.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C, d)
+    return sums, jnp.sum(oh, axis=0)
+
+
+def kmeans(data_f32, n: int, C: int, *, metric: Metric, iters: int = 6,
+           seed: int = 0, step: int = 16384) -> jax.Array:
+    """Lloyd k-means -> (C, d) f32 centroids. Assignment = MXU flat scan;
+    update = chunked one-hot matmuls. Empty clusters keep their previous
+    centroid (they fill in later rounds or stay tiny — capacity balancing
+    downstream tolerates both)."""
+    rng = np.random.default_rng(seed)
+    cents = jnp.take(
+        data_f32, jnp.asarray(rng.choice(n, C, replace=False)), axis=0
+    ).astype(jnp.float32)
+    for _ in range(iters):
+        a, _ = _assign_all(data_f32, n, cents, C, 1, metric, step)
+        a = jnp.asarray(a[:, 0])
+        sums = jnp.zeros((C, data_f32.shape[1]), jnp.float32)
+        cnts = jnp.zeros((C,), jnp.float32)
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            w = e - s
+            blk = data_f32[s:e]
+            ab = a[s:e]
+            if w < step:
+                blk = jnp.pad(blk, ((0, step - w), (0, 0)))
+                ab = jnp.pad(ab, (0, step - w), constant_values=-1)
+            su, ct = _centroid_update(blk, ab, C=C)
+            sums = sums + su
+            cnts = cnts + ct
+        new = sums / jnp.maximum(cnts, 1.0)[:, None]
+        cents = jnp.where((cnts > 0)[:, None], new, cents)
+    return cents
+
+
+def balance_assign(nbr_ids: np.ndarray, nbr_d: np.ndarray, C: int,
+                   m: int) -> np.ndarray:
+    """Capacity-balanced assignment -> members (C, m) int32, -1 padded.
+
+    Greedy in order of distance-to-first-choice: each point takes its
+    nearest non-full of its k candidate centroids; points whose k
+    candidates are all full go to the globally least-full cluster. The
+    row layout needs a FIXED m sublanes per cluster, so the cap is hard.
+    Host numpy: one argsort + one pass of O(n k) scalar work (~100 ms /
+    100K) — the device matmuls around it dominate the build.
+    """
+    n, kk = nbr_ids.shape
+    order = np.argsort(nbr_d[:, 0], kind="stable")
+    members = np.full((C, m), -1, np.int32)
+    fill = np.zeros(C, np.int32)
+    spill = []
+    for p in order:
+        placed = False
+        for j in range(kk):
+            c = nbr_ids[p, j]
+            if c >= 0 and fill[c] < m:
+                members[c, fill[c]] = p
+                fill[c] += 1
+                placed = True
+                break
+        if not placed:
+            spill.append(p)
+    for p in spill:
+        c = int(np.argmin(fill))
+        members[c, fill[c]] = p
+        fill[c] += 1
+    return members
+
+
+def build_cluster_ext(qdata, members, adj, qcents) -> jax.Array:
+    """Pack the per-cluster ext rows -> (C_pad, m + Rc + 8, d) int8.
+
+    Row layout (all int8, d lanes wide):
+      [0, m)            member vectors (invalid slots zero)
+      [m, m+4)          member-id byte planes (id of slot j at lane j;
+                        -1 = 0xff planes for invalid, same contract as
+                        fusedbeam.build_inline_ext)
+      [m+4, m+4+Rc)     adjacent-cluster centroid vectors
+      [m+4+Rc, m+8+Rc)  adjacent-cluster-id byte planes
+    Requires m <= d and Rc <= d; m, Rc multiples of 8.
+    """
+    C, m = members.shape
+    Rc = adj.shape[1]
+    d = qdata.shape[1]
+    assert m % 8 == 0 and Rc % 8 == 0 and m <= d and Rc <= d
+    C_pad = -(-C // 8) * 8
+
+    def planes(idr, width):
+        out = []
+        for b in range(4):
+            byte = jnp.right_shift(idr, 8 * b) & 0xFF
+            out.append(
+                jnp.pad(byte, ((0, 0), (0, d - width))).astype(jnp.int8)[
+                    :, None, :
+                ]
+            )
+        return out
+
+    mem = jnp.asarray(members)
+    vecs = jnp.take(
+        qdata, jnp.clip(mem, 0, qdata.shape[0] - 1).reshape(-1), axis=0
+    ).reshape(C, m, d).astype(jnp.int8)
+    vecs = jnp.where((mem >= 0)[:, :, None], vecs, 0)
+    adjj = jnp.asarray(adj)
+    avecs = jnp.take(
+        qcents, jnp.clip(adjj, 0, qcents.shape[0] - 1).reshape(-1), axis=0
+    ).reshape(C, Rc, d).astype(jnp.int8)
+    avecs = jnp.where((adjj >= 0)[:, :, None], avecs, 0)
+    ext = jnp.concatenate(
+        [vecs] + planes(mem, m) + [avecs] + planes(adjj, Rc), axis=1
+    )
+    if C_pad != C:
+        ext = jnp.pad(ext, ((0, C_pad - C), (0, 0), (0, 0)),
+                      constant_values=-1)
+        # padded rows: zero vectors, id planes 0xff (= id -1, masked)
+        ext = ext.at[C:, :m].set(0)
+        ext = ext.at[C:, m + 4:m + 4 + Rc].set(0)
+    return ext
+
+
+@dataclasses.dataclass
+class ClusterIndex:
+    """Two-level cluster index handle. ``search`` runs the fused cluster
+    beam (ops/pallas/clusterbeam.py) + full-precision rerank."""
+
+    points: PointSet  # full precision (rerank)
+    qpoints: PointSet  # shared q8 domain for members AND centroids
+    centroids_q: jax.Array  # (C_pad, d) int8, same domain
+    members: np.ndarray  # (C, m) int32
+    adj: np.ndarray  # (C, Rc) int32
+    ext: jax.Array  # (C_pad, m + Rc + 8, d) int8
+    C: int
+    m: int
+    Rc: int
+
+    @staticmethod
+    def build(points: PointSet, *, m: int = 64, Rc: int = 16,
+              iters: int = 6, cand: int = 8, slack: float = 1.25,
+              seed: int = 0, verbose: bool = False) -> "ClusterIndex":
+        """``slack``: cluster-count overprovision. With C = n/m exactly,
+        the capacity balancer is forced to fill every cluster and dumps
+        boundary points into arbitrary far clusters — measured to cost
+        ~7pp of recall ceiling at 20K (true-NN cluster rank p99 went
+        145 -> single digits with 25% slack)."""
+        n, d = points.n, points.d
+        C = max(8, int(-(-n * slack // m)))
+        data = points.data[:n].astype(jnp.float32)
+        # the PARTITION is always L2 (clustering by inner product is
+        # degenerate — every point gravitates to the largest-norm
+        # centroid; standard IVF-MIPS practice is L2 cells scored by the
+        # true metric at query time, which ClusterIndex.search does)
+        cmetric = Metric.L2
+        cents = kmeans(data, n, C, metric=cmetric, iters=iters, seed=seed)
+        nbr_ids, nbr_d = _assign_all(data, n, cents, C, cand, cmetric)
+        members = balance_assign(nbr_ids, nbr_d, C, m)
+        # recenter on the final balanced membership, then quantize points
+        # and centroids into ONE q8 domain (one query translation serves
+        # both tiers)
+        mm = jnp.asarray(members)
+        mvecs = jnp.take(
+            data, jnp.clip(mm, 0, n - 1).reshape(-1), axis=0
+        ).reshape(C, m, d)
+        ok = (mm >= 0)[:, :, None]
+        cents = jnp.sum(jnp.where(ok, mvecs, 0.0), axis=1) / jnp.maximum(
+            jnp.sum(ok, axis=1), 1.0
+        )
+        qps = quantize.quantize_pointset(points, bits=8)
+        cq = quantize.euclidean_translate(
+            cents, qps.quant_slope, qps.quant_offset, 8
+        ) if points.metric is Metric.L2 else quantize.mips_translate(
+            cents, qps.quant_slope, qps.quant_offset, 8
+        )
+        aid, _ = _assign_all(np.asarray(cents), C, cents, C, Rc + 1,
+                             cmetric, step=8192)
+        # drop self from the adjacency (it is always the nearest)
+        adj = np.where(
+            aid[:, :] == np.arange(C, dtype=np.int32)[:, None], -1, aid
+        )
+        adj_list = np.full((C, Rc), -1, np.int32)
+        for c in range(C):
+            row = adj[c][adj[c] >= 0][:Rc]
+            adj_list[c, : len(row)] = row
+        ext = build_cluster_ext(qps.data, members, adj_list, cq)
+        C_pad = ext.shape[0]
+        if cq.shape[0] != C_pad:
+            cq = jnp.pad(cq.astype(jnp.int8),
+                         ((0, C_pad - cq.shape[0]), (0, 0)))
+        return ClusterIndex(
+            points=points, qpoints=qps, centroids_q=cq.astype(jnp.int8),
+            members=members, adj=adj_list, ext=ext, C=C, m=m, Rc=Rc,
+        )
+
+    def search(self, queries, k: int = 10, *, n_probe: int = 8,
+               cut: float = 1.35, starts: int = 2, rerank_factor: int = 2):
+        """-> (ids (B, k), dists (B, k), counters). ``n_probe`` bounds
+        expansions per query (the visit limit); ``starts`` seeds the
+        cluster beam with the exact top-S centroids (one MXU scan over
+        all C centroids — C is tiny)."""
+        from parlayann_tpu.ops.pallas.clusterbeam import (
+            cluster_search_fused,
+        )
+        from parlayann_tpu.utils.arrays import as_device
+
+        q_full = as_device(queries)
+        pool = min(max(k * rerank_factor, k), 128)
+        return cluster_search_fused(
+            q_full, self.centroids_q, self.ext, self.points.data,
+            self.qpoints.quant_slope, self.qpoints.quant_offset,
+            metric=self.points.metric, C=self.C, m=self.m, Rc=self.Rc,
+            n_points=self.points.n, k=k, n_probe=n_probe, cut=cut,
+            S=starts, pool=pool, tier_bits=self.qpoints.bits,
+        )

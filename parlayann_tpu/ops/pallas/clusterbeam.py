@@ -1,0 +1,472 @@
+"""Fused cluster-beam search kernel (the ClusterIndex query side).
+
+The structural answer to the vertex-beam step floor (see
+build/clusterindex.py for the physics): beam over CLUSTERS, not points.
+One expansion DMAs one packed cluster row — ALL m member vectors + ids
+plus the Rc adjacent-cluster centroid vectors + ids — so one descriptor
+feeds m result candidates and Rc navigation candidates at once.
+
+Two state machines per query, updated in one kernel step:
+
+  * the CLUSTER beam (Wc = pow2(Lc) lanes, dist + packed id*2+unexpanded
+    bit, the fusedbeam packing): navigation. Candidates are the expanded
+    cluster's Rc adjacent centroids; dedup is the same hashless
+    compare-against-beam (exact: beam eviction is permanent — the worst
+    kept entry only improves — so an expanded cluster can never re-enter
+    and is expanded at most once).
+  * the POINT pool ((m, M)-lane accumulator): results. The expanded
+    cluster's m member distances bubble-insert into an M-deep per-lane
+    accumulator (the flatscan trick) — M compare-swaps per step instead
+    of a sort+merge, and NO point dedup is needed at all because clusters
+    partition the points and each cluster is expanded at most once.
+
+Per-step algebra is tiny (Rcp-lane sort + 2*Wc-lane merge + M bubble
+rounds, all on <=32-lane vregs) vs the vertex kernel's Rp=64-lane sort +
+2*Wb merge, and convergence takes ~n_probe in (4..16) steps vs ~L+2.
+
+Reference counterparts: the two-level QQ filter (beamSearch.h:119-146)
+and beam_search_rerank (beamSearch.h:394-454), recast as one structure.
+The DMA ring (streaming lookahead across grid blocks, frozen-block
+passthrough) is the same design as ops/pallas/fusedbeam.py — see the
+measured rationale there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from parlayann_tpu.types import Metric
+from parlayann_tpu.ops import quantize
+from parlayann_tpu.ops.distance import INF
+from parlayann_tpu.ops.pallas.bitonic import bitonic_merge, bitonic_sort
+from parlayann_tpu.search.rerank import rerank_topk
+
+_INF = float(INF)
+
+
+def _pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _step_kernel(
+    exp_ref,  # scalar prefetch: (B,) int32 cluster to expand (-1 = frozen)
+    q_ref,  # (block_b, d) f32 (tier domain)
+    cbd_ref,  # (block_b, Wc) f32 cluster-beam dists
+    cbp_ref,  # (block_b, Wc) int32 cluster-beam packed ids
+    pd_ref,  # (block_b, m*M) f32 point-pool dists
+    pi_ref,  # (block_b, m*M) int32 point-pool ids
+    nv_ref,  # (block_b, 1) int32 probes done
+    expv_ref,  # (block_b, 1) int32 exp ids as a vector block
+    ext_hbm,  # (C_pad, m + Rc + 8, d) int8, ANY
+    ocbd, ocbp, opd, opi, onv, onext,  # outputs
+    vmem, sems, mdbuf, mibuf, adbuf, aibuf,  # scratch
+    *, m, Rc, Rcp, d, Wc, Lc, M, C, n_points, metric, cut, n_probe,
+    block_b, G, n_buf,
+):
+    bi = pl.program_id(0)
+    n_grp = block_b // G
+    assert n_grp >= n_buf, "block_b // G must cover the DMA ring"
+    g0 = bi * n_grp
+    n_grp_total = pl.num_programs(0) * n_grp
+
+    n_active = jnp.sum((expv_ref[:] >= 0).astype(jnp.int32))
+
+    def dma(slot, gg, j):
+        v = exp_ref[gg * G + j]
+        vc = jnp.clip(v, 0, ext_hbm.shape[0] - 1)
+        return v, pltpu.make_async_copy(
+            ext_hbm.at[vc], vmem.at[slot, j], sems.at[slot, j],
+        )
+
+    def dma_start(slot, gg, j):
+        _, cp = dma(slot, gg, j)
+        cp.start()
+
+    def dma_wait(slot, gg, j):
+        _, cp = dma(slot, gg, j)
+        cp.wait()
+
+    def lookahead(gg):
+        @pl.when(gg < n_grp_total)
+        def _():
+            slot = jax.lax.rem(gg, n_buf)
+            for j in range(G):
+                dma_start(slot, gg, j)
+
+    @pl.when(bi == 0)
+    def _():
+        for s in range(n_buf):
+            lookahead(s)
+
+    @pl.when(n_active == 0)
+    def _():
+        ocbd[:] = cbd_ref[:]
+        ocbp[:] = cbp_ref[:]
+        opd[:] = pd_ref[:]
+        opi[:] = pi_ref[:]
+        onv[:] = nv_ref[:]
+        onext[:] = expv_ref[:]
+        for s in range(n_buf):
+            gg = g0 + s
+            slot = jax.lax.rem(gg, n_buf)
+            for j in range(G):
+                dma_wait(slot, gg, j)
+            lookahead(gg + n_grp)
+
+    @pl.when(n_active > 0)
+    def _active():
+        # ---- phase A: per-group DMA + row-local compute -> scratch ----
+        def loop(g, _):
+            gg = g0 + g
+            slot = jax.lax.rem(gg, n_buf)
+            for j in range(G):
+                dma_wait(slot, gg, j)
+            rows = vmem[slot]  # (G, m + Rc + 8, d) int8
+            sl = pl.ds(g * G, G)
+            q = q_ref[sl, :]  # (G, d) f32
+
+            def planes(base, width):
+                b0 = rows[:, base + 0, :].astype(jnp.int32) & 0xFF
+                b1 = rows[:, base + 1, :].astype(jnp.int32) & 0xFF
+                b2 = rows[:, base + 2, :].astype(jnp.int32) & 0xFF
+                b3 = rows[:, base + 3, :].astype(jnp.int32) & 0xFF
+                ids = b0 + (b1 << 8) + (b2 << 16) + (b3 << 24)  # (G, d)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (G, d), 1)
+                # lanes >= width hold zero pad (id 0, NOT -1): mask them
+                return jnp.where(lane < width, ids, -1)[:, :width]
+
+            mid = planes(m, m)  # (G, m) member ids
+            aid = planes(m + 4 + Rc, Rc)  # (G, Rc) adjacent cluster ids
+
+            # one MXU contraction scores members AND adjacent centroids
+            mvecs = rows[:, :m, :].astype(jnp.float32)
+            avecs = rows[:, m + 4:m + 4 + Rc, :].astype(jnp.float32)
+            vecs = jnp.concatenate([mvecs, avecs], axis=1)  # (G, m+Rc, d)
+            if metric is Metric.MIPS:
+                prod = vecs * q[:, None, :]
+            else:
+                diff = vecs - q[:, None, :]
+                prod = diff * diff
+            dall = jax.lax.dot_general(
+                prod.reshape(G * (m + Rc), d), jnp.ones((d, 1), jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(G, m + Rc)
+            if metric is Metric.MIPS:
+                dall = -dall
+            md = dall[:, :m]
+            ad = dall[:, m:]
+            if Rcp != Rc:
+                ad = jnp.concatenate(
+                    [ad, jnp.full((G, Rcp - Rc), _INF)], axis=1
+                )
+                aid = jnp.concatenate(
+                    [aid, jnp.full((G, Rcp - Rc), -1, jnp.int32)], axis=1
+                )
+            mdbuf[sl, :] = md
+            mibuf[sl, :] = mid
+            adbuf[sl, :] = ad
+            aibuf[sl, :] = aid
+            lookahead(gg + n_buf)
+            return 0
+
+        jax.lax.fori_loop(0, n_grp, loop, 0)
+
+        # ---- phase B: block-wide state update ----
+        cbd = cbd_ref[:]  # (block_b, Wc)
+        cbp = cbp_ref[:]
+        nv = nv_ref[:]  # (block_b, 1)
+        exp_ok = expv_ref[:] >= 0  # (block_b, 1)
+        md = mdbuf[:]  # (block_b, m)
+        mid = mibuf[:]
+        ad = adbuf[:]  # (block_b, Rcp)
+        aid = aibuf[:]
+
+        # members -> point pool (bubble insert, M rounds; no dedup: each
+        # cluster is expanded at most once and clusters partition points)
+        mvalid = (mid >= 0) & (mid < n_points) & exp_ok
+        md = jnp.where(mvalid, md, _INF)
+        cv, ci = md, mid
+        for mm in range(M):
+            sl = slice(mm * m, (mm + 1) * m)
+            adc = pd_ref[:, sl]
+            aic = pi_ref[:, sl]
+            w = cv < adc
+            opd[:, sl] = jnp.where(w, cv, adc)
+            opi[:, sl] = jnp.where(w, ci, aic)
+            cv = jnp.where(w, adc, cv)
+            ci = jnp.where(w, aic, ci)
+
+        # adjacent clusters -> cluster beam (sort desc + bitonic merge)
+        lane_wc = jax.lax.broadcasted_iota(jnp.int32, (block_b, Wc), 1)
+        lane_wc_f = lane_wc.astype(jnp.float32)
+        lane_rcp = jax.lax.broadcasted_iota(jnp.int32, (block_b, Rcp), 1)
+        avalid = (aid >= 0) & (aid < C) & exp_ok
+        ad = jnp.where(avalid, ad, _INF)
+        bid = jax.lax.shift_right_logical(cbp, 1)
+        dup = jnp.zeros(ad.shape, bool)
+        for l in range(Wc):
+            dup = dup | (aid == bid[:, l:l + 1])
+        ad = jnp.where(dup, _INF, ad)
+        apack = jnp.where(ad < _INF, aid * 2 + 1, (C + lane_rcp) * 2 + 1)
+        negd, apack_s = bitonic_sort(-ad, apack)
+        c_take = min(Wc, Rcp)
+        adp = -negd[:, Rcp - c_take:]  # smallest c_take, descending
+        app = apack_s[:, Rcp - c_take:]
+        pad = Wc - c_take
+        parts_d = [cbd]
+        parts_p = [cbp]
+        if pad:
+            lane_pad = jax.lax.broadcasted_iota(jnp.int32, (block_b, pad), 1)
+            parts_d.append(jnp.full((block_b, pad), _INF))
+            parts_p.append((C + Rcp + lane_pad) * 2 + 1)
+        parts_d.append(adp)
+        parts_p.append(app)
+        ncbd, ncbp = bitonic_merge(
+            jnp.concatenate(parts_d, axis=1), jnp.concatenate(parts_p, axis=1)
+        )
+        ncbd = ncbd[:, :Wc]
+        ncbp = ncbp[:, :Wc]
+        ncbd = jnp.where(lane_wc < Lc, ncbd, _INF)
+        ncbp = jnp.where(lane_wc < Lc, ncbp,
+                         (C + 2 * Rcp + lane_wc) * 2 + 1)
+
+        # ---- next expansion ----
+        unexp = ((ncbp & 1) == 1) & (ncbd < _INF)
+        if cut > 0.0 and metric.is_metric:
+            # adaptive stop: a cluster whose centroid is > cut x the best
+            # seen centroid distance is unlikely to hold top-k points
+            best = ncbd[:, :1]
+            workable = unexp & (ncbd < cut * best)
+        else:
+            workable = unexp
+        has_work = jnp.max(
+            workable.astype(jnp.int32), axis=1, keepdims=True
+        ) > 0
+        nv_new = nv + exp_ok.astype(jnp.int32)
+        done_new = ~exp_ok | ~has_work | (nv_new >= n_probe)
+        first = jnp.min(
+            jnp.where(workable, lane_wc_f, float(2 * Wc)),
+            axis=1, keepdims=True,
+        )
+        nid = jax.lax.shift_right_logical(ncbp, 1)
+        nxt = jnp.sum(
+            jnp.where(lane_wc_f == first, nid, 0), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        nxt = jnp.where(done_new, -1, nxt)
+        flip = (lane_wc_f == first) & ~done_new
+        ncbp = ncbp - flip.astype(jnp.int32)
+
+        ocbd[:] = jnp.where(exp_ok, ncbd, cbd)
+        ocbp[:] = jnp.where(exp_ok, ncbp, cbp)
+        onv[:] = jnp.where(exp_ok, nv_new, nv)
+        onext[:] = jnp.where(exp_ok, nxt, -1)
+        # pool outputs for frozen rows: copy state through
+        for mm in range(M):
+            sl = slice(mm * m, (mm + 1) * m)
+            opd[:, sl] = jnp.where(exp_ok, opd[:, sl], pd_ref[:, sl])
+            opi[:, sl] = jnp.where(exp_ok, opi[:, sl], pi_ref[:, sl])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "Rc", "Rcp", "d", "Wc", "Lc", "M", "C",
+                     "n_points", "metric", "cut", "n_probe", "block_b",
+                     "G", "n_buf", "interpret"),
+)
+def cluster_step(
+    exp_ids,  # (B,) int32 (-1 = frozen)
+    queries,  # (B, d) f32
+    cbd, cbp,  # (B, Wc)
+    pd, pi,  # (B, m*M)
+    nv,  # (B, 1)
+    ext,  # (C_pad, m + Rc + 8, d) int8
+    *, m, Rc, Rcp, d, Wc, Lc, M, C, n_points, metric, cut, n_probe,
+    block_b=512, G=16, n_buf=8, interpret=False,
+):
+    B = queries.shape[0]
+    if jax.default_backend() != "tpu":
+        interpret = True
+    block_b = max(G, min(block_b, B))
+    n_buf = min(n_buf, block_b // G)
+    kernel = functools.partial(
+        _step_kernel, m=m, Rc=Rc, Rcp=Rcp, d=d, Wc=Wc, Lc=Lc, M=M, C=C,
+        n_points=n_points, metric=metric, cut=cut, n_probe=n_probe,
+        block_b=block_b, G=G, n_buf=n_buf,
+    )
+    grid = (B // block_b,)
+
+    def bspec(w):
+        return pl.BlockSpec((block_b, w), lambda i, ids: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                bspec(d), bspec(Wc), bspec(Wc), bspec(m * M), bspec(m * M),
+                bspec(1), bspec(1),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[bspec(Wc), bspec(Wc), bspec(m * M), bspec(m * M),
+                       bspec(1), bspec(1)],
+            scratch_shapes=[
+                pltpu.VMEM((n_buf, G, ext.shape[1], d), ext.dtype),
+                pltpu.SemaphoreType.DMA((n_buf, G)),
+                pltpu.VMEM((block_b, m), jnp.float32),
+                pltpu.VMEM((block_b, m), jnp.int32),
+                pltpu.VMEM((block_b, Rcp), jnp.float32),
+                pltpu.VMEM((block_b, Rcp), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Wc), jnp.float32),
+            jax.ShapeDtypeStruct((B, Wc), jnp.int32),
+            jax.ShapeDtypeStruct((B, m * M), jnp.float32),
+            jax.ShapeDtypeStruct((B, m * M), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(exp_ids, queries, cbd, cbp, pd, pi, nv, exp_ids.reshape(B, 1), ext)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "C", "m", "Rc", "n_points", "k", "n_probe",
+                     "cut", "S", "pool", "tier_bits", "Lc", "M", "block_b",
+                     "G", "n_buf"),
+)
+def cluster_search_fused(
+    q_full,  # (B, d) raw f32 queries
+    centroids_q,  # (C_pad, d) int8, q8 domain
+    ext,  # (C_pad, m + Rc + 8, d) int8
+    points_full,  # (n_pad, d) full precision (rerank)
+    slope, offset,  # q8 domain params
+    *,
+    metric: Metric,
+    C: int,
+    m: int,
+    Rc: int,
+    n_points: int,
+    k: int = 10,
+    n_probe: int = 8,
+    cut: float = 0.0,
+    S: int = 2,
+    pool: int = 20,
+    tier_bits: int = 8,
+    Lc: int = 0,
+    M: int = 4,
+    block_b: int = 512,
+    G: int = 16,
+    n_buf: int = 8,
+):
+    """Single-dispatch cluster search -> (ids (B,k), dists (B,k),
+    (n_probes (B,), dist_cmps (B,))). Distances are full-precision.
+
+    ``S`` exact nearest centroids seed the beam (one tiny MXU scan over
+    all C centroids); ``n_probe`` bounds expansions; ``cut`` (L2 only,
+    0 = off) stops early when the best remaining cluster is > cut x the
+    best centroid distance seen.
+
+    ``Lc`` (0 = auto): the cluster beam must hold MORE than n_probe live
+    lanes — an expanded entry occupies its lane permanently (that
+    permanence is exactly what makes the hashless dedup exact), so a
+    beam of Lc supports at most Lc expansions before exhausting.
+    """
+    B0, d = q_full.shape
+    Rcp = _pow2(Rc)
+    Lc = Lc or (n_probe + 4)
+    Wc = _pow2(max(Lc, S, 8))
+
+    # translate into the q8 domain (graph_index.cpp:144-177)
+    if tier_bits < 32 and slope is not None:
+        if metric is Metric.L2:
+            q = quantize.euclidean_translate(q_full, slope, offset,
+                                             tier_bits)
+        else:
+            q = quantize.mips_translate(q_full, slope, offset, tier_bits)
+        q = q.astype(jnp.float32)
+    else:
+        q = q_full.astype(jnp.float32)
+
+    block_b = max(G, min(block_b, ((B0 + 7) // 8) * 8))
+    B = ((B0 + block_b - 1) // block_b) * block_b
+    if B != B0:
+        q = jnp.pad(q, ((0, B - B0), (0, 0)))
+
+    # ---- seed: exact top-S centroids (C is tiny — one MXU scan) ----
+    cf = centroids_q.astype(jnp.float32)  # (C_pad, d)
+    dots = jax.lax.dot_general(
+        q, cf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, C_pad)
+    if metric is Metric.MIPS:
+        cd0 = -dots
+    else:
+        cd0 = jnp.sum(cf * cf, axis=1)[None, :] - 2.0 * dots
+        cd0 = cd0 + jnp.sum(q * q, axis=1, keepdims=True)
+    cid0 = jnp.arange(cf.shape[0], dtype=jnp.int32)[None, :]
+    cd0 = jnp.where(cid0 < C, cd0, _INF)
+    sneg, sids = jax.lax.top_k(-cd0, S)
+    sd = -sneg  # (B, S) ascending
+
+    lane = jnp.arange(Wc, dtype=jnp.int32)[None, :]
+    cbd = jnp.concatenate([sd, jnp.full((B, Wc - S), _INF)], axis=1)
+    sent = jnp.broadcast_to((C + lane[:, :Wc - S]) * 2 + 1, (B, Wc - S))
+    cbp = jnp.concatenate([sids.astype(jnp.int32) * 2 + 1, sent], axis=1)
+    lmask = lane < Lc
+    cbd = jnp.where(lmask, cbd, _INF)
+    cbp = jnp.where(lmask, cbp, (C + Wc + lane) * 2 + 1)
+
+    pd = jnp.full((B, m * M), _INF, jnp.float32)
+    pi = jnp.full((B, m * M), -1, jnp.int32)
+    nv = jnp.zeros((B, 1), jnp.int32)
+
+    # expand the nearest centroid first (lane 0; sorted seed)
+    exp_ids = jnp.where(cbd[:, 0] < _INF, cbp[:, 0] >> 1, -1).astype(
+        jnp.int32
+    )
+    cbp = cbp - jnp.where(
+        (lane == 0) & (exp_ids[:, None] >= 0), 1, 0
+    ).astype(jnp.int32)
+
+    step = functools.partial(
+        cluster_step, m=m, Rc=Rc, Rcp=Rcp, d=d, Wc=Wc, Lc=Lc, M=M, C=C,
+        n_points=n_points, metric=metric, cut=cut, n_probe=n_probe,
+        block_b=block_b, G=G, n_buf=n_buf,
+    )
+
+    def cond(state):
+        e, *_ = state
+        return jnp.any(e >= 0)
+
+    def body(state):
+        e, cbd, cbp, pd, pi, nv = state
+        cbd, cbp, pd, pi, nv, nxt = step(e, q, cbd, cbp, pd, pi, nv, ext)
+        return (nxt[:, 0], cbd, cbp, pd, pi, nv)
+
+    _, cbd, cbp, pd, pi, nv = jax.lax.while_loop(
+        cond, body, (exp_ids, cbd, cbp, pd, pi, nv)
+    )
+
+    # ---- pool -> rerank candidates (one lane sort) -> full precision ----
+    pd_s, pi_s = jax.lax.sort((pd, pi), num_keys=1)
+    cand = jnp.where(pd_s[:, :pool] < _INF, pi_s[:, :pool], -1)
+    ids, dists = rerank_topk(
+        q_full.astype(jnp.float32), points_full, cand[:B0],
+        k=k, pool=pool, metric=metric,
+    )
+    nvo = nv[:B0, 0]
+    cmps = C + nvo * (m + Rc)
+    return ids, dists, (nvo, cmps)

@@ -1,0 +1,119 @@
+"""ClusterIndex (two-level cluster beam) build + search tests.
+
+The cluster index is a TPU-native structure beyond the reference's
+component list (it composes the two-level QQ filter of beamSearch.h:119-146
+with a partition, see build/clusterindex.py); these tests pin its
+contracts: the members array is an exact partition, search recall clears
+the graph-index bar on clustered data, and returned distances are true
+full-precision distances.
+"""
+
+import numpy as np
+import pytest
+
+from parlayann_tpu.data.pointset import PointSet
+from parlayann_tpu.build.clusterindex import ClusterIndex
+from parlayann_tpu.search.exact import compute_groundtruth
+from parlayann_tpu.harness.recall import compute_recall
+from parlayann_tpu.utils import synthetic
+
+
+@pytest.fixture(scope="module")
+def built():
+    X, Q = synthetic.clustered(
+        5000, 64, n_queries=64, n_clusters=50, cluster_std=0.35, seed=7
+    )
+    ps = PointSet.from_numpy(X)
+    ci = ClusterIndex.build(ps, m=64, Rc=16, iters=3)
+    gt_ids, gt_dists = compute_groundtruth(ps, Q, k=10, query_batch=64)
+    return ps, Q, ci, np.asarray(gt_ids), np.asarray(gt_dists)
+
+
+def test_members_partition(built):
+    ps, _, ci, _, _ = built
+    mem = ci.members[ci.members >= 0]
+    assert len(mem) == ps.n, "every point assigned exactly once"
+    assert len(np.unique(mem)) == ps.n
+    assert (ci.members < ps.n).all()
+    # capacity respected
+    assert ((ci.members >= 0).sum(axis=1) <= ci.m).all()
+
+
+def test_adjacency_valid(built):
+    _, _, ci, _, _ = built
+    assert ci.adj.shape == (ci.C, ci.Rc)
+    ok = ci.adj[ci.adj >= 0]
+    assert (ok < ci.C).all()
+    # no self loops
+    self_ref = ci.adj == np.arange(ci.C, dtype=np.int32)[:, None]
+    assert not self_ref.any()
+
+
+def test_ext_row_layout(built):
+    ps, _, ci, _, _ = built
+    # ext rows: member id byte planes reassemble to the members array
+    ext = np.asarray(ci.ext)
+    c = 0
+    planes = ext[c, ci.m:ci.m + 4, :ci.m].astype(np.int64) & 0xFF
+    ids = (planes[0] + (planes[1] << 8) + (planes[2] << 16)
+           + (planes[3] << 24)).astype(np.int32)
+    np.testing.assert_array_equal(ids, ci.members[c])
+
+
+def test_search_recall(built):
+    _, Q, ci, gt_ids, gt_dists = built
+    ids, dists, (nv, cmps) = ci.search(Q, k=10, n_probe=8, cut=0.0)
+    rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, 10)
+    assert rec >= 0.93, rec
+    assert np.asarray(nv).max() <= 8
+
+
+def test_search_recall_monotone_in_probes(built):
+    _, Q, ci, gt_ids, gt_dists = built
+    recs = []
+    for npr in (2, 4, 8):
+        ids, _, _ = ci.search(Q, k=10, n_probe=npr, cut=0.0)
+        recs.append(compute_recall(np.asarray(ids), gt_ids, gt_dists, 10))
+    assert recs[0] <= recs[1] + 0.01 and recs[1] <= recs[2] + 0.01, recs
+
+
+def test_returned_dists_are_exact(built):
+    ps, Q, ci, _, _ = built
+    ids, dists, _ = ci.search(Q[:8], k=10, n_probe=4, cut=0.0)
+    ids = np.asarray(ids)
+    dists = np.asarray(dists)
+    X = np.asarray(ps.data[: ps.n], np.float32)
+    Qn = np.asarray(Q[:8], np.float32)
+    for qi in range(8):
+        for j in range(10):
+            if ids[qi, j] < 0:
+                continue
+            true = ((X[ids[qi, j]] - Qn[qi]) ** 2).sum()
+            assert abs(true - dists[qi, j]) < 1e-2 * max(1.0, true)
+
+
+def test_no_duplicate_results(built):
+    _, Q, ci, _, _ = built
+    ids, _, _ = ci.search(Q, k=10, n_probe=8, cut=0.0)
+    ids = np.asarray(ids)
+    for row in ids:
+        v = row[row >= 0]
+        assert len(np.unique(v)) == len(v)
+
+
+def test_mips_smoke():
+    # clustered data: IVF-style routing on UNIFORM gaussians under MIPS is
+    # intrinsically weak (the top inner products are norm outliers spread
+    # over all cells — measured oracle ceiling ~.7 at 30% probes), and the
+    # real MIPS tracks (bigann_mips) are clustered
+    X, Q = synthetic.clustered(
+        4000, 64, n_queries=32, n_clusters=40, cluster_std=0.35, seed=3
+    )
+    ps = PointSet.from_numpy(X, metric="mips")
+    ci = ClusterIndex.build(ps, m=64, Rc=16, iters=2)
+    gt_ids, gt_dists = compute_groundtruth(ps, Q, k=10, query_batch=32)
+    ids, dists, _ = ci.search(Q, k=10, n_probe=12, cut=0.0)
+    rec = compute_recall(
+        np.asarray(ids), np.asarray(gt_ids), np.asarray(gt_dists), 10
+    )
+    assert rec >= 0.85, rec
