@@ -132,33 +132,53 @@ def balance_assign(nbr_ids: np.ndarray, nbr_d: np.ndarray, C: int,
                    m: int) -> np.ndarray:
     """Capacity-balanced assignment -> members (C, m) int32, -1 padded.
 
-    Greedy in order of distance-to-first-choice: each point takes its
-    nearest non-full of its k candidate centroids; points whose k
-    candidates are all full go to the globally least-full cluster. The
-    row layout needs a FIXED m sublanes per cluster, so the cap is hard.
-    Host numpy: one argsort + one pass of O(n k) scalar work (~100 ms /
-    100K) — the device matmuls around it dominate the build.
+    Round j places every still-unplaced point at its j-th choice centroid
+    if capacity remains, accepting by distance priority within each
+    cluster (everyone's first choice is honored before anyone's second —
+    BFS over choice ranks). Points whose k candidates are all full spill
+    to the emptiest clusters. The row layout needs a FIXED m sublanes per
+    cluster, so the cap is hard. Fully vectorized numpy (k argsort
+    passes), ~O(n k log n): the Python-loop version cost ~15 s at 1M.
     """
     n, kk = nbr_ids.shape
-    order = np.argsort(nbr_d[:, 0], kind="stable")
+    order = np.argsort(nbr_d[:, 0], kind="stable").astype(np.int64)
     members = np.full((C, m), -1, np.int32)
-    fill = np.zeros(C, np.int32)
-    spill = []
-    for p in order:
-        placed = False
-        for j in range(kk):
-            c = nbr_ids[p, j]
-            if c >= 0 and fill[c] < m:
-                members[c, fill[c]] = p
-                fill[c] += 1
-                placed = True
-                break
-        if not placed:
-            spill.append(p)
-    for p in spill:
-        c = int(np.argmin(fill))
-        members[c, fill[c]] = p
-        fill[c] += 1
+    fill = np.zeros(C, np.int64)
+    pending = order  # in priority order, invariant kept per round
+    for j in range(kk):
+        if not len(pending):
+            break
+        c = nbr_ids[pending, j].astype(np.int64)
+        valid = c >= 0
+        # group by cluster, keep priority order within each group
+        sidx = np.argsort(c, kind="stable")
+        cs = c[sidx]
+        newgrp = np.r_[True, cs[1:] != cs[:-1]]
+        grp_start = np.maximum.accumulate(
+            np.where(newgrp, np.arange(len(cs)), 0)
+        )
+        rank = np.arange(len(cs)) - grp_start
+        cap = np.where(valid[sidx], m - fill[np.clip(cs, 0, C - 1)], 0)
+        acc = rank < cap
+        pts = pending[sidx[acc]]
+        cacc = cs[acc]
+        slot = fill[cacc] + rank[acc]
+        members[cacc, slot] = pts
+        fill += np.bincount(cacc, minlength=C)
+        keep = np.ones(len(pending), bool)
+        keep[sidx[acc]] = False
+        pending = pending[keep]
+    if len(pending):
+        # spill: fill the emptiest clusters' free slots in order
+        free_c = np.repeat(np.arange(C), m - fill)
+        assert len(free_c) >= len(pending), "capacity < n (slack too low)"
+        # emptiest first
+        free_c = free_c[np.argsort(fill[free_c], kind="stable")]
+        take = free_c[: len(pending)]
+        for c_ in np.unique(take):
+            idx = np.flatnonzero(take == c_)
+            members[c_, fill[c_]: fill[c_] + len(idx)] = pending[idx]
+            fill[c_] += len(idx)
     return members
 
 
