@@ -28,6 +28,7 @@ from parlayann_tpu.api import (
     build_hcnng_index,
     build_pynndescent_index,
     build_hnsw_index,
+    build_cluster_index,
     load_index,
     Index,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "build_hcnng_index",
     "build_pynndescent_index",
     "build_hnsw_index",
+    "build_cluster_index",
     "load_index",
     "Index",
 ]

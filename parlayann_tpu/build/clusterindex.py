@@ -182,6 +182,20 @@ def balance_assign(nbr_ids: np.ndarray, nbr_d: np.ndarray, C: int,
     return members
 
 
+def _recenter(data_f32, members: np.ndarray, C: int) -> jax.Array:
+    """Exact centroids of the final balanced membership -> (C, d) f32."""
+    n = data_f32.shape[0]
+    mm = jnp.asarray(members)
+    m = mm.shape[1]
+    mvecs = jnp.take(
+        data_f32, jnp.clip(mm, 0, n - 1).reshape(-1), axis=0
+    ).reshape(C, m, -1)
+    ok = (mm >= 0)[:, :, None]
+    return jnp.sum(jnp.where(ok, mvecs, 0.0), axis=1) / jnp.maximum(
+        jnp.sum(ok, axis=1), 1.0
+    )
+
+
 def build_cluster_ext(qdata, members, adj, qcents) -> jax.Array:
     """Pack the per-cluster ext rows -> (C_pad, m + Rc + 8, d) int8.
 
@@ -268,23 +282,7 @@ class ClusterIndex:
         cents = kmeans(data, n, C, metric=cmetric, iters=iters, seed=seed)
         nbr_ids, nbr_d = _assign_all(data, n, cents, C, cand, cmetric)
         members = balance_assign(nbr_ids, nbr_d, C, m)
-        # recenter on the final balanced membership, then quantize points
-        # and centroids into ONE q8 domain (one query translation serves
-        # both tiers)
-        mm = jnp.asarray(members)
-        mvecs = jnp.take(
-            data, jnp.clip(mm, 0, n - 1).reshape(-1), axis=0
-        ).reshape(C, m, d)
-        ok = (mm >= 0)[:, :, None]
-        cents = jnp.sum(jnp.where(ok, mvecs, 0.0), axis=1) / jnp.maximum(
-            jnp.sum(ok, axis=1), 1.0
-        )
-        qps = quantize.quantize_pointset(points, bits=8)
-        cq = quantize.euclidean_translate(
-            cents, qps.quant_slope, qps.quant_offset, 8
-        ) if points.metric is Metric.L2 else quantize.mips_translate(
-            cents, qps.quant_slope, qps.quant_offset, 8
-        )
+        cents = _recenter(data, members, C)
         aid, _ = _assign_all(np.asarray(cents), C, cents, C, Rc + 1,
                              cmetric, step=8192)
         # drop self from the adjacency (it is always the nearest)
@@ -295,15 +293,53 @@ class ClusterIndex:
         for c in range(C):
             row = adj[c][adj[c] >= 0][:Rc]
             adj_list[c, : len(row)] = row
-        ext = build_cluster_ext(qps.data, members, adj_list, cq)
+        return ClusterIndex._finish(points, members, adj_list, cents,
+                                    C, m, Rc)
+
+    @staticmethod
+    def _finish(points, members, adj, cents, C, m, Rc) -> "ClusterIndex":
+        """Quantize points and centroids into ONE q8 domain (one query
+        translation serves both tiers) and pack the ext rows."""
+        qps = quantize.quantize_pointset(points, bits=8)
+        cq = quantize.euclidean_translate(
+            cents, qps.quant_slope, qps.quant_offset, 8
+        ) if points.metric is Metric.L2 else quantize.mips_translate(
+            cents, qps.quant_slope, qps.quant_offset, 8
+        )
+        ext = build_cluster_ext(qps.data, members, adj, cq)
         C_pad = ext.shape[0]
         if cq.shape[0] != C_pad:
             cq = jnp.pad(cq.astype(jnp.int8),
                          ((0, C_pad - cq.shape[0]), (0, 0)))
         return ClusterIndex(
             points=points, qpoints=qps, centroids_q=cq.astype(jnp.int8),
-            members=members, adj=adj_list, ext=ext, C=C, m=m, Rc=Rc,
+            members=members, adj=adj, ext=ext, C=C, m=m, Rc=Rc,
         )
+
+    def save(self, path: str) -> None:
+        """Persist the structure (members + adjacency only: the packed ext
+        rows, centroids, and the q8 tier are deterministic functions of
+        (points, members, adj) and are rebuilt at load — the same
+        build-or-load convention as the graph indexes, data/io.py)."""
+        np.savez(
+            path, members=self.members, adj=self.adj,
+            m=np.int64(self.m), Rc=np.int64(self.Rc), C=np.int64(self.C),
+            n=np.int64(self.points.n),
+        )
+
+    @staticmethod
+    def load(path: str, points: PointSet) -> "ClusterIndex":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        members = z["members"].astype(np.int32)
+        adj = z["adj"].astype(np.int32)
+        C, m, Rc = int(z["C"]), int(z["m"]), int(z["Rc"])
+        if int(z["n"]) != points.n:
+            raise ValueError(
+                f"index was built on n={int(z['n'])}, points have {points.n}"
+            )
+        data = points.data[: points.n].astype(jnp.float32)
+        cents = _recenter(data, members, C)
+        return ClusterIndex._finish(points, members, adj, cents, C, m, Rc)
 
     def search(self, queries, k: int = 10, *, n_probe: int = 8,
                cut: float = 1.35, starts: int = 2, rerank_factor: int = 2):

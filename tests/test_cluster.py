@@ -101,6 +101,33 @@ def test_no_duplicate_results(built):
         assert len(np.unique(v)) == len(v)
 
 
+def test_save_load_roundtrip(built, tmp_path):
+    ps, Q, ci, gt_ids, gt_dists = built
+    p = str(tmp_path / "ci.npz")
+    ci.save(p)
+    ci2 = ClusterIndex.load(p, ps)
+    np.testing.assert_array_equal(ci2.members, ci.members)
+    np.testing.assert_array_equal(ci2.adj, ci.adj)
+    np.testing.assert_array_equal(np.asarray(ci2.ext), np.asarray(ci.ext))
+    ids, _, _ = ci2.search(Q, k=10, n_probe=8, cut=0.0)
+    rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, 10)
+    assert rec >= 0.93
+
+
+def test_api_validation():
+    import parlayann_tpu as pt
+
+    X = np.random.default_rng(0).normal(size=(500, 64)).astype(np.float32)
+    with pytest.raises(ValueError):
+        pt.build_cluster_index(X, m=63)  # not a multiple of 8
+    with pytest.raises(ValueError):
+        pt.build_cluster_index(X, m=128)  # d < m
+    with pytest.raises(ValueError):
+        pt.build_cluster_index(X, metric="cosine")
+    ci = pt.build_cluster_index(X, m=32, Rc=8, iters=2)
+    assert ci.C >= 8
+
+
 def test_mips_smoke():
     # clustered data: IVF-style routing on UNIFORM gaussians under MIPS is
     # intrinsically weak (the top inner products are norm outliers spread
