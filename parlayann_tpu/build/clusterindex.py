@@ -341,6 +341,29 @@ class ClusterIndex:
         cents = _recenter(data, members, C)
         return ClusterIndex._finish(points, members, adj, cents, C, m, Rc)
 
+    def search_timed(self, queries, *, rounds: int = 1, warmup: bool = True,
+                     **kw):
+        """Timed steady-state search -> (ids, dists, counters, s/round).
+        Same amortized-dispatch protocol as Index.batch_search_timed:
+        ``rounds`` back-to-back dispatches + ONE readback fence, so the
+        relay's flat ~26 ms RTT is paid once, not per round."""
+        import time as _time
+
+        from parlayann_tpu.utils.arrays import as_device
+
+        queries = as_device(queries)
+        queries.block_until_ready()
+        if warmup:
+            out = self.search(queries, **kw)
+            _ = np.asarray(out[0][:1])
+        t0 = _time.perf_counter()
+        out = None
+        for _ in range(rounds):
+            out = self.search(queries, **kw)
+        _ = np.asarray(out[0][:1])
+        dt = (_time.perf_counter() - t0) / rounds
+        return (*out, dt)
+
     def search(self, queries, k: int = 10, *, n_probe: int = 8,
                cut: float = 1.35, starts: int = 2, rerank_factor: int = 2):
         """-> (ids (B, k), dists (B, k), counters). ``n_probe`` bounds

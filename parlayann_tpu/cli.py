@@ -32,6 +32,13 @@ def make_parser() -> argparse.ArgumentParser:
     a("-graph_path", type=str, default=None, help="load a prebuilt graph")
     a("-graph_outfile", type=str, default=None, help="save the built graph")
     a("-res_path", type=str, default=None, help="append CSV results")
+    a("-algorithm", type=str, default="auto",
+      choices=["auto", "cluster"],
+      help="auto = infer the graph family from the reference's flags "
+           "(alg_type, types.h:154-245); cluster = the TPU-native "
+           "two-level cluster index (build/clusterindex.py)")
+    a("-cluster_m", type=int, default=64,
+      help="cluster index: members per cluster (packed-row sublanes)")
     a("-data_type", type=str, default="float", choices=["float", "uint8", "int8"])
     a("-dist_func", type=str, default="Euclidian", choices=["Euclidian", "mips"])
     a("-normalize", action="store_true")
@@ -101,6 +108,9 @@ def main(argv=None):
         from parlayann_tpu.ops import quantize as _q
 
         build_ps = _q.quantize_pointset(ps, bits=8, trim=args.trim)
+
+    if args.algorithm == "cluster":
+        return _cluster_main(args, ps, metric)
 
     t0 = time.perf_counter()
     alg = bp.alg_type
@@ -212,6 +222,67 @@ def main(argv=None):
             size=ps.n, time=build_time, avg_deg=avg, max_deg=mx,
         )
         write_to_csv(args.res_path, best, rec)
+    return 0
+
+
+def _cluster_main(args, ps, metric):
+    """-algorithm cluster: build/load the two-level cluster index and run
+    an n_probe sweep with the same printed protocol as the graph sweep
+    (check_nn_recall.h output format; beamQ column = n_probe)."""
+    from parlayann_tpu.build.clusterindex import ClusterIndex
+    from parlayann_tpu.data import io
+    from parlayann_tpu.harness.recall import NNResult, compute_recall, mean_p99
+    from parlayann_tpu.harness import sweep as sweep_mod
+    from parlayann_tpu.harness.csv import GraphRecord, write_to_csv
+    from parlayann_tpu.data.pointset import PointSet
+
+    t0 = time.perf_counter()
+    if args.graph_path:
+        ci = ClusterIndex.load(args.graph_path, ps)
+        build_time = 0.0
+    else:
+        ci = ClusterIndex.build(ps, m=args.cluster_m)
+        build_time = time.perf_counter() - t0
+        print(f"Built cluster index in {build_time:.3f}s, "
+              f"C={ci.C} m={ci.m} Rc={ci.Rc}")
+    if args.graph_outfile:
+        ci.save(args.graph_outfile)
+    if not args.query_path:
+        return 0
+    Q = PointSet.from_file(args.query_path, metric=metric,
+                           normalize=args.normalize).to_numpy()
+    gt_ids = gt_dists = None
+    if args.gt_path:
+        gt_ids, gt_dists = io.read_ibin(args.gt_path)
+
+    probes = [args.Q] if args.Q else [4, 6, 8, 12, 16, 24, 32, 48]
+    results = []
+    for npr in probes:
+        if npr > ci.C:
+            break
+        ids, _, (nvo, cmps), dt = ci.search_timed(
+            Q, k=args.k, n_probe=npr, cut=0.0,
+            rerank_factor=args.rerank_factor,
+        )
+        rec = (compute_recall(np.asarray(ids), gt_ids, gt_dists, args.k)
+               if gt_ids is not None else 0.0)
+        ac, tc = mean_p99(np.asarray(cmps))
+        av, tv = mean_p99(np.asarray(nvo))
+        r = NNResult(recall=rec, QPS=len(Q) / dt, avg_cmps=ac, tail_cmps=tc,
+                     avg_visited=av, tail_visited=tv, k=args.k, beamQ=npr,
+                     cut=0.0, limit=npr, degree_limit=ci.Rc,
+                     num_queries=len(Q))
+        r.print()
+        results.append(r)
+        if rec > 0.999:
+            break
+    best = sweep_mod.parse_result(results, sweep_mod.BUCKETS)
+    if args.res_path:
+        rec_row = GraphRecord(
+            name="cluster", params=f"m={ci.m} Rc={ci.Rc} C={ci.C}",
+            size=ps.n, time=build_time, avg_deg=float(ci.m), max_deg=ci.m,
+        )
+        write_to_csv(args.res_path, best, rec_row)
     return 0
 
 

@@ -58,6 +58,40 @@ def test_tools_roundtrip(tmp_path, rng):
     assert io.read_bin(sampf).shape == (5, 6)
 
 
+def test_cli_cluster_index(tmp_path, rng):
+    """-algorithm cluster: build, save, probe sweep, CSV, reload."""
+    base = str(tmp_path / "b.fbin")
+    qf = str(tmp_path / "q.fbin")
+    gt = str(tmp_path / "gt.ibin")
+    cout = str(tmp_path / "ci.npz")
+    res = str(tmp_path / "res.csv")
+    # clustered data so a fixed probe count reaches high recall
+    centers = rng.standard_normal((12, 16)).astype(np.float32)
+    x = (centers[rng.integers(0, 12, 800)]
+         + 0.05 * rng.standard_normal((800, 16))).astype(np.float32)
+    q = (centers[rng.integers(0, 12, 40)]
+         + 0.05 * rng.standard_normal((40, 16))).astype(np.float32)
+    io.write_bin(base, x)
+    io.write_bin(qf, q)
+    compute_groundtruth.main(
+        ["-base_path", base, "-query_path", qf, "-gt_path", gt, "-k", "10"]
+    )
+    rc = cli.main(
+        ["-base_path", base, "-query_path", qf, "-gt_path", gt,
+         "-algorithm", "cluster", "-cluster_m", "16",
+         "-graph_outfile", cout, "-res_path", res, "-Q", "8"]
+    )
+    assert rc == 0
+    csv_text = open(res).read()
+    assert "cluster" in csv_text
+    # reload path
+    rc = cli.main(
+        ["-base_path", base, "-query_path", qf, "-gt_path", gt,
+         "-algorithm", "cluster", "-graph_path", cout, "-Q", "8"]
+    )
+    assert rc == 0
+
+
 def test_cli_quantize_modes(tmp_path, rng):
     """-quantize 1..3 (Euclidian) and 3..4 (mips) dispatch the two-level
     tiers exactly as vamana/neighbors.h:117-186."""
