@@ -365,11 +365,14 @@ class ClusterIndex:
         return (*out, dt)
 
     def search(self, queries, k: int = 10, *, n_probe: int = 8,
-               cut: float = 1.35, starts: int = 2, rerank_factor: int = 2):
+               cut: float = 1.35, starts: int = 2, rerank_factor: int = 2,
+               rerank: str = "full"):
         """-> (ids (B, k), dists (B, k), counters). ``n_probe`` bounds
         expansions per query (the visit limit); ``starts`` seeds the
         cluster beam with the exact top-S centroids (one MXU scan over
-        all C centroids — C is tiny)."""
+        all C centroids — C is tiny). ``rerank="tier"`` skips the
+        full-precision gather and returns int8-domain distances (see
+        cluster_search_fused)."""
         from parlayann_tpu.ops.pallas.clusterbeam import (
             cluster_search_fused,
         )
@@ -383,4 +386,5 @@ class ClusterIndex:
             metric=self.points.metric, C=self.C, m=self.m, Rc=self.Rc,
             n_points=self.points.n, k=k, n_probe=n_probe, cut=cut,
             S=starts, pool=pool, tier_bits=self.qpoints.bits,
+            rerank=rerank,
         )

@@ -345,7 +345,7 @@ def cluster_step(
     jax.jit,
     static_argnames=("metric", "C", "m", "Rc", "n_points", "k", "n_probe",
                      "cut", "S", "pool", "tier_bits", "Lc", "M", "block_b",
-                     "G", "n_buf"),
+                     "G", "n_buf", "rerank"),
 )
 def cluster_search_fused(
     q_full,  # (B, d) raw f32 queries
@@ -370,9 +370,15 @@ def cluster_search_fused(
     block_b: int = 512,
     G: int = 16,
     n_buf: int = 8,
+    rerank: str = "full",
 ):
     """Single-dispatch cluster search -> (ids (B,k), dists (B,k),
-    (n_probes (B,), dist_cmps (B,))). Distances are full-precision.
+    (n_probes (B,), dist_cmps (B,))). Distances are full-precision with
+    ``rerank="full"``; ``rerank="tier"`` skips the full-precision gather
+    (the XLA row gather is the slow path on TPU: ~30-40 GB/s vs the
+    kernel's 150) and returns the pool's exact int8-domain scores —
+    candidates are already deduplicated (clusters partition the points),
+    so the top-k is direct.
 
     ``S`` exact nearest centroids seed the beam (one tiny MXU scan over
     all C centroids); ``n_probe`` bounds expansions; ``cut`` (L2 only,
@@ -462,11 +468,15 @@ def cluster_search_fused(
 
     # ---- pool -> rerank candidates (one lane sort) -> full precision ----
     pd_s, pi_s = jax.lax.sort((pd, pi), num_keys=1)
-    cand = jnp.where(pd_s[:, :pool] < _INF, pi_s[:, :pool], -1)
-    ids, dists = rerank_topk(
-        q_full.astype(jnp.float32), points_full, cand[:B0],
-        k=k, pool=pool, metric=metric,
-    )
+    if rerank == "tier":
+        ids = jnp.where(pd_s[:B0, :k] < _INF, pi_s[:B0, :k], -1)
+        dists = pd_s[:B0, :k]
+    else:
+        cand = jnp.where(pd_s[:, :pool] < _INF, pi_s[:, :pool], -1)
+        ids, dists = rerank_topk(
+            q_full.astype(jnp.float32), points_full, cand[:B0],
+            k=k, pool=pool, metric=metric,
+        )
     nvo = nv[:B0, 0]
     cmps = C + nvo * (m + Rc)
     return ids, dists, (nvo, cmps)

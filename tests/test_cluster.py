@@ -92,6 +92,20 @@ def test_returned_dists_are_exact(built):
             assert abs(true - dists[qi, j]) < 1e-2 * max(1.0, true)
 
 
+def test_tier_rerank_mode(built):
+    """rerank="tier" skips the full-precision gather: ids stay close in
+    recall (int8-domain ordering) and need no dedup (partition)."""
+    _, Q, ci, gt_ids, gt_dists = built
+    ids_f, _, _ = ci.search(Q, k=10, n_probe=8, cut=0.0)
+    ids_t, dists_t, _ = ci.search(Q, k=10, n_probe=8, cut=0.0,
+                                  rerank="tier")
+    rec_f = compute_recall(np.asarray(ids_f), gt_ids, gt_dists, 10)
+    rec_t = compute_recall(np.asarray(ids_t), gt_ids, gt_dists, 10)
+    assert rec_t >= rec_f - 0.06, (rec_f, rec_t)
+    d = np.asarray(dists_t)
+    assert np.all(np.diff(d, axis=1) >= -1e-3)  # sorted tier scores
+
+
 def test_no_duplicate_results(built):
     _, Q, ci, _, _ = built
     ids, _, _ = ci.search(Q, k=10, n_probe=8, cut=0.0)
