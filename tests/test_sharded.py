@@ -43,3 +43,39 @@ def test_sharded_uneven_rows(rng):
     idx = build_sharded_vamana(X, mesh, bp)
     ids, _ = sharded_search(idx, Q, k=5, beam_size=16)
     assert np.all(ids < n)
+
+
+def test_cluster_sharded_search(rng):
+    """Cluster-sharded capacity mode: recall parity with the single-device
+    ClusterIndex on an 8-shard mesh (ext payload sharded by cluster)."""
+    from parlayann_tpu.build.clusterindex import ClusterIndex
+    from parlayann_tpu.parallel.cluster_sharded import ShardedClusterIndex
+    from parlayann_tpu.harness.recall import compute_recall
+    from parlayann_tpu.utils import synthetic
+
+    n, d, nq, k = 4000, 64, 64, 10
+    X, Q = synthetic.clustered(n, d, n_queries=nq, n_clusters=40,
+                               cluster_std=0.1, seed=5)
+    ps = PointSet.from_numpy(X)
+    gt, gtd = exact.exact_knn(Q, ps, k, chunk=512)
+    gt, gtd = np.asarray(gt), np.asarray(gtd)
+    ci = ClusterIndex.build(ps, m=32, Rc=16, iters=3)
+
+    mesh = make_mesh(8, data_axis=8)
+    sci = ShardedClusterIndex.from_cluster_index(ci, mesh)
+    ids_s, dists_s, nv = sci.search(Q, k=k, n_probe=8, cut=0.0)
+    ids_1, _, _ = ci.search(Q, k=k, n_probe=8, cut=0.0)
+
+    rec_s = compute_recall(np.asarray(ids_s), gt, gtd, k)
+    rec_1 = compute_recall(np.asarray(ids_1), gt, gtd, k)
+    assert rec_s >= rec_1 - 0.02, (rec_s, rec_1)
+    assert np.asarray(nv).max() <= 8
+    # returned distances are true full-precision distances
+    ids_np, d_np = np.asarray(ids_s), np.asarray(dists_s)
+    Xf, Qf = np.asarray(ps.data[:n], np.float32), np.asarray(Q, np.float32)
+    for qi in range(0, nq, 7):
+        for j in range(k):
+            if ids_np[qi, j] < 0:
+                continue
+            true = ((Xf[ids_np[qi, j]] - Qf[qi]) ** 2).sum()
+            assert abs(true - d_np[qi, j]) < 1e-2 * max(1.0, true)
