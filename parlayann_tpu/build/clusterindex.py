@@ -55,77 +55,101 @@ def _pow2(x: int) -> int:
     return p
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "n_valid", "chunk"))
-def _assign_chunk(pts, cents, *, k, metric, n_valid, chunk):
-    return flat_search_batch(
-        pts, cents, k=k, metric=metric, n_valid=n_valid, chunk=chunk,
-        select="sort",
-    )
+def _kmeans_chunk_for(C: int) -> int:
+    """Point-chunk width keeping the (chunk, C) f32 distance tile under
+    ~256 MB (one transient tile per lax.map step)."""
+    step = 16384
+    while step > 1024 and step * max(C, 1) * 4 > 256 << 20:
+        step //= 2
+    return step
 
 
-def _assign_all(data_f32, n, cents, C, k, metric, step=16384):
-    """Nearest-k centroids per point -> (ids (n, k), dists (n, k)) numpy.
-    Chunked over points so the (chunk, C) distance tile stays small."""
-    ids_out = np.empty((n, k), np.int32)
-    d_out = np.empty((n, k), np.float32)
-    Cp = cents.shape[0]
-    for s in range(0, n, step):
-        e = min(s + step, n)
-        w = e - s
-        blk = data_f32[s:e]
-        if w < step:
-            blk = jnp.pad(blk, ((0, step - w), (0, 0)))
-        ids, ds = _assign_chunk(
-            blk, cents, k=k, metric=metric, n_valid=C, chunk=min(Cp, 32768),
+@partial(jax.jit, static_argnames=("C", "k", "metric", "n", "step"))
+def _assign_all_jit(data_pad, cents, *, C, k, metric, n, step):
+    """Nearest-k centroids for every point -> ((nc, step, k) ids, dists).
+    ONE dispatch: a lax.map over static point chunks (each an MXU scan) —
+    the per-chunk host loop cost ~40 relay fences per build."""
+    nc = data_pad.shape[0] // step
+
+    def one(blk):
+        return flat_search_batch(
+            blk, cents, k=k, metric=metric, n_valid=C,
+            chunk=min(cents.shape[0], 32768), select="sort",
         )
-        ids_out[s:e] = np.asarray(ids[:w])
-        d_out[s:e] = np.asarray(ds[:w])
-    return ids_out, d_out
+
+    return jax.lax.map(one, data_pad.reshape(nc, step, -1))
 
 
-@partial(jax.jit, static_argnames=("C",))
-def _centroid_update(data_chunk, assign_chunk, *, C):
-    """Accumulate per-cluster vector sums + counts for one point chunk via
-    a one-hot matmul (scatter-free: TPU scatters are ~1000x lane ops)."""
-    oh = (
-        assign_chunk[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]
-    ).astype(jnp.float32)  # (chunk, C)
-    sums = jax.lax.dot_general(
-        oh, data_chunk.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (C, d)
-    return sums, jnp.sum(oh, axis=0)
+def _assign_all(data_f32, n, cents, C, k, metric, step=0):
+    """Nearest-k centroids per point -> (ids (n, k), dists (n, k)) numpy."""
+    step = step or _kmeans_chunk_for(cents.shape[0])
+    n_pad = -(-n // step) * step
+    data_pad = data_f32[:n]
+    if n_pad != n:
+        data_pad = jnp.pad(data_pad, ((0, n_pad - n), (0, 0)))
+    ids, ds = _assign_all_jit(
+        data_pad, cents, C=C, k=k, metric=metric, n=n, step=step,
+    )
+    return (np.asarray(ids).reshape(n_pad, k)[:n],
+            np.asarray(ds).reshape(n_pad, k)[:n])
+
+
+@partial(jax.jit, static_argnames=("C", "n", "iters", "metric", "step"))
+def _kmeans_jit(data_pad, init_cents, *, C, n, iters, metric, step):
+    """Full Lloyd loop in ONE dispatch. Assignment = chunked MXU flat
+    scans (lax.map); update = chunked one-hot matmuls (scatter-free: TPU
+    scatters are ~1000x lane ops). Pad rows (>= n) are masked out of the
+    update. Empty clusters keep their previous centroid."""
+    n_pad, d = data_pad.shape
+    nc = n_pad // step
+    chunks = data_pad.reshape(nc, step, d)
+    row0 = jnp.arange(step, dtype=jnp.int32)
+
+    def one_iter(_, cents):
+        def chunk_stats(carry, xc):
+            blk, base = xc
+            aid = flat_search_batch(
+                blk, cents, k=1, metric=metric, n_valid=C,
+                chunk=min(cents.shape[0], 32768), select="sort",
+            )[0][:, 0]
+            valid = (base + row0) < n
+            oh = (
+                (aid[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :])
+                & valid[:, None]
+            ).astype(jnp.float32)
+            sums = jax.lax.dot_general(
+                oh, blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (carry[0] + sums, carry[1] + jnp.sum(oh, axis=0)), None
+
+        bases = jnp.arange(nc, dtype=jnp.int32) * step
+        (sums, cnts), _ = jax.lax.scan(
+            chunk_stats,
+            (jnp.zeros((C, d), jnp.float32), jnp.zeros((C,), jnp.float32)),
+            (chunks, bases),
+        )
+        new = sums / jnp.maximum(cnts, 1.0)[:, None]
+        return jnp.where((cnts > 0)[:, None], new, cents)
+
+    return jax.lax.fori_loop(0, iters, one_iter, init_cents)
 
 
 def kmeans(data_f32, n: int, C: int, *, metric: Metric, iters: int = 6,
-           seed: int = 0, step: int = 16384) -> jax.Array:
-    """Lloyd k-means -> (C, d) f32 centroids. Assignment = MXU flat scan;
-    update = chunked one-hot matmuls. Empty clusters keep their previous
-    centroid (they fill in later rounds or stay tiny — capacity balancing
-    downstream tolerates both)."""
+           seed: int = 0, step: int = 0) -> jax.Array:
+    """Lloyd k-means -> (C, d) f32 centroids, one fused device program."""
     rng = np.random.default_rng(seed)
     cents = jnp.take(
         data_f32, jnp.asarray(rng.choice(n, C, replace=False)), axis=0
     ).astype(jnp.float32)
-    for _ in range(iters):
-        a, _ = _assign_all(data_f32, n, cents, C, 1, metric, step)
-        a = jnp.asarray(a[:, 0])
-        sums = jnp.zeros((C, data_f32.shape[1]), jnp.float32)
-        cnts = jnp.zeros((C,), jnp.float32)
-        for s in range(0, n, step):
-            e = min(s + step, n)
-            w = e - s
-            blk = data_f32[s:e]
-            ab = a[s:e]
-            if w < step:
-                blk = jnp.pad(blk, ((0, step - w), (0, 0)))
-                ab = jnp.pad(ab, (0, step - w), constant_values=-1)
-            su, ct = _centroid_update(blk, ab, C=C)
-            sums = sums + su
-            cnts = cnts + ct
-        new = sums / jnp.maximum(cnts, 1.0)[:, None]
-        cents = jnp.where((cnts > 0)[:, None], new, cents)
-    return cents
+    step = step or _kmeans_chunk_for(C)
+    n_pad = -(-n // step) * step
+    data_pad = data_f32[:n]
+    if n_pad != n:
+        data_pad = jnp.pad(data_pad, ((0, n_pad - n), (0, 0)))
+    return _kmeans_jit(
+        data_pad, cents, C=C, n=n, iters=iters, metric=metric, step=step,
+    )
 
 
 def balance_assign(nbr_ids: np.ndarray, nbr_d: np.ndarray, C: int,
