@@ -224,23 +224,29 @@ def main():
         Qd.block_until_ready()
         crows = []
         cbest = (0, 0.0, 0.0)
-        for npr in (4, 6, 8, 12, 16, 24):
+        # fixed probe budgets + adaptive early-stop configs (min_probe
+        # floor + centroid cut; frozen rows skip their DMA entirely)
+        cfgs = [(npr, 0, 0.0) for npr in (4, 6, 8, 12, 16, 24)]
+        cfgs = [(12, 2, 1.35), (16, 3, 1.35)] + cfgs
+        for npr, mnp, ccut in cfgs:
             dt = float("inf")
             out_ = None
             for _ in range(3):
                 t0 = time.perf_counter()
                 for _r in range(rounds):
-                    out_ = ci.search(Qd, k=k, n_probe=npr, cut=0.0)
+                    out_ = ci.search(Qd, k=k, n_probe=npr,
+                                     min_probe=mnp, cut=ccut)
                 _ = np.asarray(out_[0][:1])
                 dt = min(dt, (time.perf_counter() - t0) / rounds)
             rec = compute_recall(np.asarray(out_[0]), gt_ids, gt_dists, k)
             qps = nq / dt
-            crows.append((npr, rec, qps))
-            log(f"  [cluster] probes={npr:3d} recall={rec:.4f} "
-                f"QPS={qps:,.0f}")
+            tag = f"probes={npr:3d}" if not mnp else \
+                f"adapt min={mnp} cut={ccut} cap={npr}"
+            crows.append((f"{npr}/{mnp}/{ccut}", rec, qps))
+            log(f"  [cluster] {tag} recall={rec:.4f} QPS={qps:,.0f}")
             if rec >= 0.95 and qps > cbest[2]:
-                cbest = (npr, rec, qps)
-            if rec > 0.995:
+                cbest = (f"{npr}/{mnp}/{ccut}", rec, qps)
+            if not mnp and rec > 0.995:
                 break
         cluster = {
             "build_time_s": round(ci_build, 2),

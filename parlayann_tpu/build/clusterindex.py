@@ -389,8 +389,8 @@ class ClusterIndex:
         return (*out, dt)
 
     def search(self, queries, k: int = 10, *, n_probe: int = 8,
-               cut: float = 1.35, starts: int = 2, rerank_factor: int = 2,
-               rerank: str = "full"):
+               min_probe: int = 0, cut: float = 1.35, starts: int = 2,
+               rerank_factor: int = 2, rerank: str = "full"):
         """-> (ids (B, k), dists (B, k), counters). ``n_probe`` bounds
         expansions per query (the visit limit); ``starts`` seeds the
         cluster beam with the exact top-S centroids (one MXU scan over
@@ -408,7 +408,7 @@ class ClusterIndex:
             q_full, self.centroids_q, self.ext, self.points.data,
             self.qpoints.quant_slope, self.qpoints.quant_offset,
             metric=self.points.metric, C=self.C, m=self.m, Rc=self.Rc,
-            n_points=self.points.n, k=k, n_probe=n_probe, cut=cut,
-            S=starts, pool=pool, tier_bits=self.qpoints.bits,
-            rerank=rerank,
+            n_points=self.points.n, k=k, n_probe=n_probe,
+            min_probe=min_probe, cut=cut, S=starts, pool=pool,
+            tier_bits=self.qpoints.bits, rerank=rerank,
         )

@@ -69,7 +69,7 @@ def _step_kernel(
     ocbd, ocbp, opd, opi, onv, onext,  # outputs
     vmem, sems, mdbuf, mibuf, adbuf, aibuf,  # scratch
     *, m, Rc, Rcp, d, Wc, Lc, M, C, n_points, metric, cut, n_probe,
-    block_b, G, n_buf,
+    min_probe, block_b, G, n_buf,
 ):
     bi = pl.program_id(0)
     n_grp = block_b // G
@@ -86,13 +86,25 @@ def _step_kernel(
             ext_hbm.at[vc], vmem.at[slot, j], sems.at[slot, j],
         )
 
+    # frozen rows (exp id -1) issue NO DMA: with adaptive early stop (cut)
+    # most rows freeze after ~min_probe expansions, and the tail steps
+    # would otherwise re-stream row 0 for every frozen query. The start
+    # and wait predicates are the same function of exp_ref, so the ring
+    # stays consistent; stale VMEM for skipped rows is masked by exp_ok
+    # in phase B.
     def dma_start(slot, gg, j):
-        _, cp = dma(slot, gg, j)
-        cp.start()
+        v, cp = dma(slot, gg, j)
+
+        @pl.when(v >= 0)
+        def _():
+            cp.start()
 
     def dma_wait(slot, gg, j):
-        _, cp = dma(slot, gg, j)
-        cp.wait()
+        v, cp = dma(slot, gg, j)
+
+        @pl.when(v >= 0)
+        def _():
+            cp.wait()
 
     def lookahead(gg):
         @pl.when(gg < n_grp_total)
@@ -241,17 +253,21 @@ def _step_kernel(
 
         # ---- next expansion ----
         unexp = ((ncbp & 1) == 1) & (ncbd < _INF)
+        nv_new = nv + exp_ok.astype(jnp.int32)
         if cut > 0.0 and metric.is_metric:
             # adaptive stop: a cluster whose centroid is > cut x the best
-            # seen centroid distance is unlikely to hold top-k points
+            # seen centroid distance is unlikely to hold top-k points;
+            # min_probe floors the rule (the 2nd/3rd-best clusters carry
+            # most of the residual recall even when the cut would stop)
             best = ncbd[:, :1]
-            workable = unexp & (ncbd < cut * best)
+            workable = unexp & (
+                (ncbd < cut * best) | (nv_new < min_probe)
+            )
         else:
             workable = unexp
         has_work = jnp.max(
             workable.astype(jnp.int32), axis=1, keepdims=True
         ) > 0
-        nv_new = nv + exp_ok.astype(jnp.int32)
         done_new = ~exp_ok | ~has_work | (nv_new >= n_probe)
         first = jnp.min(
             jnp.where(workable, lane_wc_f, float(2 * Wc)),
@@ -279,8 +295,8 @@ def _step_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("m", "Rc", "Rcp", "d", "Wc", "Lc", "M", "C",
-                     "n_points", "metric", "cut", "n_probe", "block_b",
-                     "G", "n_buf", "interpret"),
+                     "n_points", "metric", "cut", "n_probe", "min_probe",
+                     "block_b", "G", "n_buf", "interpret"),
 )
 def cluster_step(
     exp_ids,  # (B,) int32 (-1 = frozen)
@@ -290,7 +306,7 @@ def cluster_step(
     nv,  # (B, 1)
     ext,  # (C_pad, m + Rc + 8, d) int8
     *, m, Rc, Rcp, d, Wc, Lc, M, C, n_points, metric, cut, n_probe,
-    block_b=512, G=16, n_buf=8, interpret=False,
+    min_probe=0, block_b=512, G=16, n_buf=8, interpret=False,
 ):
     B = queries.shape[0]
     if jax.default_backend() != "tpu":
@@ -300,7 +316,7 @@ def cluster_step(
     kernel = functools.partial(
         _step_kernel, m=m, Rc=Rc, Rcp=Rcp, d=d, Wc=Wc, Lc=Lc, M=M, C=C,
         n_points=n_points, metric=metric, cut=cut, n_probe=n_probe,
-        block_b=block_b, G=G, n_buf=n_buf,
+        min_probe=min_probe, block_b=block_b, G=G, n_buf=n_buf,
     )
     grid = (B // block_b,)
 
@@ -345,7 +361,7 @@ def cluster_step(
     jax.jit,
     static_argnames=("metric", "C", "m", "Rc", "n_points", "k", "n_probe",
                      "cut", "S", "pool", "tier_bits", "Lc", "M", "block_b",
-                     "G", "n_buf", "rerank"),
+                     "G", "n_buf", "rerank", "min_probe"),
 )
 def cluster_search_fused(
     q_full,  # (B, d) raw f32 queries
@@ -361,6 +377,7 @@ def cluster_search_fused(
     n_points: int,
     k: int = 10,
     n_probe: int = 8,
+    min_probe: int = 0,
     cut: float = 0.0,
     S: int = 2,
     pool: int = 20,
@@ -450,7 +467,7 @@ def cluster_search_fused(
     step = functools.partial(
         cluster_step, m=m, Rc=Rc, Rcp=Rcp, d=d, Wc=Wc, Lc=Lc, M=M, C=C,
         n_points=n_points, metric=metric, cut=cut, n_probe=n_probe,
-        block_b=block_b, G=G, n_buf=n_buf,
+        min_probe=min_probe, block_b=block_b, G=G, n_buf=n_buf,
     )
 
     def cond(state):

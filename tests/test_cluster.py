@@ -106,6 +106,20 @@ def test_tier_rerank_mode(built):
     assert np.all(np.diff(d, axis=1) >= -1e-3)  # sorted tier scores
 
 
+def test_adaptive_early_stop(built):
+    """min_probe floors the cut rule: recall lands between the fixed
+    min_probe and fixed n_probe configs, with adaptive probe counts."""
+    _, Q, ci, gt_ids, gt_dists = built
+    ids_lo, _, _ = ci.search(Q, k=10, n_probe=2, cut=0.0)
+    ids_ad, _, (nv, _) = ci.search(Q, k=10, n_probe=12, min_probe=2,
+                                   cut=1.35)
+    rec_lo = compute_recall(np.asarray(ids_lo), gt_ids, gt_dists, 10)
+    rec_ad = compute_recall(np.asarray(ids_ad), gt_ids, gt_dists, 10)
+    assert rec_ad >= rec_lo - 1e-6, (rec_ad, rec_lo)
+    nv = np.asarray(nv)
+    assert nv.max() <= 12 and nv.min() >= 1
+
+
 def test_no_duplicate_results(built):
     _, Q, ci, _, _ = built
     ids, _, _ = ci.search(Q, k=10, n_probe=8, cut=0.0)
