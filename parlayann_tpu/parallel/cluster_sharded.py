@@ -103,8 +103,8 @@ class ShardedClusterIndex:
         )
 
     def search(self, queries, k: int = 10, *, n_probe: int = 8,
-               cut: float = 0.0, starts: int = 2, pool: int = 128,
-               rerank_pool: int = 20):
+               min_probe: int = 0, cut: float = 0.0, starts: int = 2,
+               pool: int = 128, rerank_pool: int = 20):
         """-> (ids (B, k), dists (B, k) full precision, n_probes (B,))."""
         q_full = jnp.asarray(np.asarray(queries), jnp.float32)
         return _sharded_cluster_search(
@@ -112,9 +112,9 @@ class ShardedClusterIndex:
             self.points, self.slope, self.offset,
             mesh=self.mesh, metric=self.metric, C=self.C, m=self.m,
             Rc=self.Rc, n_points=self.n, Cl=self.clusters_per_shard,
-            nl=self.rows_per_shard, k=k, n_probe=n_probe, cut=cut,
-            S=starts, pool=pool, rerank_pool=rerank_pool,
-            tier_bits=self.tier_bits,
+            nl=self.rows_per_shard, k=k, n_probe=n_probe,
+            min_probe=min_probe, cut=cut, S=starts, pool=pool,
+            rerank_pool=rerank_pool, tier_bits=self.tier_bits,
         )
 
 
@@ -128,13 +128,13 @@ def _pow2(x: int) -> int:
 @partial(
     jax.jit,
     static_argnames=("mesh", "metric", "C", "m", "Rc", "n_points", "Cl",
-                     "nl", "k", "n_probe", "cut", "S", "pool",
+                     "nl", "k", "n_probe", "min_probe", "cut", "S", "pool",
                      "rerank_pool", "tier_bits"),
 )
 def _sharded_cluster_search(
     q_full, centroids_q, mvecs, mids, adj, points, slope, offset,
-    *, mesh, metric, C, m, Rc, n_points, Cl, nl, k, n_probe, cut, S,
-    pool, rerank_pool, tier_bits,
+    *, mesh, metric, C, m, Rc, n_points, Cl, nl, k, n_probe, min_probe,
+    cut, S, pool, rerank_pool, tier_bits,
 ):
     B, dim = q_full.shape
     Lc = n_probe + 4
@@ -193,7 +193,11 @@ def _sharded_cluster_search(
             """First unexpanded in-cut lane -> exp ids (B,) or -1."""
             unexp = ~cbx & (cbd < _inf)
             if cut > 0.0 and metric.is_metric:
-                unexp = unexp & (cbd < cut * cbd[:, :1])
+                # same adaptive rule as the fused kernel: centroid cut
+                # with a min_probe floor
+                unexp = unexp & (
+                    (cbd < cut * cbd[:, :1]) | (nv[:, None] < min_probe)
+                )
             has = jnp.any(unexp, axis=1)
             first = jnp.argmax(unexp, axis=1)
             e = jnp.take_along_axis(cbi, first[:, None], axis=1)[:, 0]
