@@ -428,21 +428,17 @@ def cluster_search_fused(
     if B != B0:
         q = jnp.pad(q, ((0, B - B0), (0, 0)))
 
-    # ---- seed: exact top-S centroids (C is tiny — one MXU scan) ----
-    cf = centroids_q.astype(jnp.float32)  # (C_pad, d)
-    dots = jax.lax.dot_general(
-        q, cf, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, C_pad)
-    if metric is Metric.MIPS:
-        cd0 = -dots
-    else:
-        cd0 = jnp.sum(cf * cf, axis=1)[None, :] - 2.0 * dots
-        cd0 = cd0 + jnp.sum(q * q, axis=1, keepdims=True)
-    cid0 = jnp.arange(cf.shape[0], dtype=jnp.int32)[None, :]
-    cd0 = jnp.where(cid0 < C, cd0, _INF)
-    sneg, sids = jax.lax.top_k(-cd0, S)
-    sd = -sneg  # (B, S) ascending
+    # ---- seed: exact top-S centroids, streamed (flat_search_batch
+    # chunks over centroid rows with a running top-k, so the (B, C_pad)
+    # distance tile never materializes — at 10M points C is ~200K and
+    # the full tile would be ~8 GB). Returns true squared distances /
+    # neg-dots, the same domain the kernel's phase A computes. ----
+    from parlayann_tpu.search.flat import flat_search_batch
+
+    sids, sd = flat_search_batch(
+        q, centroids_q, k=S, metric=metric, n_valid=C,
+        chunk=min(centroids_q.shape[0], 8192), select="sort",
+    )  # (B, S) ascending
 
     lane = jnp.arange(Wc, dtype=jnp.int32)[None, :]
     cbd = jnp.concatenate([sd, jnp.full((B, Wc - S), _INF)], axis=1)
