@@ -59,7 +59,7 @@ def _kmeans_chunk_for(C: int) -> int:
     """Point-chunk width keeping the (chunk, C) f32 distance tile under
     ~256 MB (one transient tile per lax.map step)."""
     step = 16384
-    while step > 1024 and step * max(C, 1) * 4 > 256 << 20:
+    while step > 512 and step * max(C, 1) * 4 > 256 << 20:
         step //= 2
     return step
 
@@ -206,18 +206,35 @@ def balance_assign(nbr_ids: np.ndarray, nbr_d: np.ndarray, C: int,
     return members
 
 
-def _recenter(data_f32, members: np.ndarray, C: int) -> jax.Array:
-    """Exact centroids of the final balanced membership -> (C, d) f32."""
+@partial(jax.jit, static_argnames=("block",))
+def _recenter_jit(data_f32, mm, *, block):
     n = data_f32.shape[0]
-    mm = jnp.asarray(members)
-    m = mm.shape[1]
-    mvecs = jnp.take(
-        data_f32, jnp.clip(mm, 0, n - 1).reshape(-1), axis=0
-    ).reshape(C, m, -1)
-    ok = (mm >= 0)[:, :, None]
-    return jnp.sum(jnp.where(ok, mvecs, 0.0), axis=1) / jnp.maximum(
-        jnp.sum(ok, axis=1), 1.0
+    Cp, m = mm.shape
+
+    def one(mb):
+        mv = jnp.take(
+            data_f32, jnp.clip(mb, 0, n - 1).reshape(-1), axis=0
+        ).reshape(block, m, -1)
+        ok = (mb >= 0)[:, :, None]
+        return jnp.sum(jnp.where(ok, mv, 0.0), axis=1) / jnp.maximum(
+            jnp.sum(ok, axis=1), 1.0
+        )
+
+    return jax.lax.map(one, mm.reshape(Cp // block, block, m)).reshape(
+        Cp, -1
     )
+
+
+def _recenter(data_f32, members: np.ndarray, C: int) -> jax.Array:
+    """Exact centroids of the final balanced membership -> (C, d) f32.
+    Chunked over cluster blocks: the one-shot (C, m, d) f32 gather is
+    ~6.4 GB at 10M points."""
+    mm = jnp.asarray(members)
+    block = min(8192, C)
+    Cp = -(-C // block) * block
+    if Cp != C:
+        mm = jnp.pad(mm, ((0, Cp - C), (0, 0)), constant_values=-1)
+    return _recenter_jit(data_f32, mm, block=block)[:C]
 
 
 def build_cluster_ext(qdata, members, adj, qcents) -> jax.Array:
