@@ -29,6 +29,15 @@ composed into one structure rather than translated.
 Build = k-means (MXU Lloyd iterations) + capacity-balanced assignment +
 centroid k-NN adjacency + one gather into the packed ext rows: a few
 full-data matmul scans, no graph refinement loop — seconds, not minutes.
+
+Scope: like every IVF-family structure, this needs data with cluster
+structure (real-world embedding distributions). On uniform high-dim
+gaussians all pairwise distances concentrate, a query's true top-k
+scatters across hundreds of cells, and recall ≈ fraction of points
+probed (measured .06 at 32 probes on uniform 20K; the centroid cut
+never triggers because distance ratios concentrate near 1). Use the
+graph indexes for such data — they degrade gracefully, this degrades
+to brute force.
 """
 
 from __future__ import annotations
