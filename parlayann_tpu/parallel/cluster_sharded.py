@@ -127,6 +127,128 @@ def _pow2(x: int) -> int:
 
 @partial(
     jax.jit,
+    static_argnames=("mesh", "metric", "C", "n", "nl", "iters", "k"),
+)
+def _sharded_kmeans_assign(
+    pts,  # (D, nl, dim) f32, sharded over 'd' by row range
+    init_cents,  # (C, dim) f32, replicated
+    *, mesh, metric, C, n, nl, iters, k,
+):
+    """Distributed Lloyd + final k-candidate assignment.
+
+    Points never move: each device scores its local row block against
+    the replicated centroids (MXU flat scans) and contributes one-hot
+    partial sums; a psum of the (C, dim) sums + (C,) counts — the only
+    ICI traffic, independent of n — replicates the update. Returns
+    ((D, nl, k) ids, dists sharded) + final centroids (replicated).
+    """
+    from parlayann_tpu.search.flat import flat_search_batch
+
+    dim = pts.shape[-1]
+
+    def local(pts, cents):
+        pts = pts[0]  # (nl, dim)
+        didx = jax.lax.axis_index("d")
+        row0 = didx * nl + jnp.arange(nl, dtype=jnp.int32)
+        valid = row0 < n
+
+        def one_iter(_, cents):
+            aid = flat_search_batch(
+                pts, cents, k=1, metric=metric, n_valid=C,
+                chunk=min(cents.shape[0], 32768), select="sort",
+            )[0][:, 0]
+            oh = (
+                (aid[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :])
+                & valid[:, None]
+            ).astype(jnp.float32)
+            sums = jax.lax.dot_general(
+                oh, pts, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sums = jax.lax.psum(sums, "d")
+            cnts = jax.lax.psum(jnp.sum(oh, axis=0), "d")
+            new = sums / jnp.maximum(cnts, 1.0)[:, None]
+            return jnp.where((cnts > 0)[:, None], new, cents)
+
+        cents = jax.lax.fori_loop(0, iters, one_iter, cents)
+        ids, ds = flat_search_batch(
+            pts, cents, k=k, metric=metric, n_valid=C,
+            chunk=min(cents.shape[0], 32768), select="sort",
+        )
+        return ids[None], ds[None], cents
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"), P()),
+        out_specs=(P("d"), P("d"), P()),
+        check_vma=False,
+    )(pts, init_cents)
+
+
+def build_sharded_cluster(
+    data: np.ndarray,
+    mesh: Mesh,
+    *,
+    m: int = 64,
+    Rc: int = 16,
+    iters: int = 6,
+    cand: int = 8,
+    slack: float = 1.25,
+    seed: int = 0,
+) -> ShardedClusterIndex:
+    """Distributed ClusterIndex build: the O(n) phases (Lloyd k-means +
+    candidate assignment — the build's FLOP bulk) run compute-at-data
+    over the mesh with psum'd centroid statistics; the O(C) finishing
+    passes (capacity balancing, adjacency, quantization, payload
+    sharding) run centrally, exactly as the single-device build
+    (build/clusterindex.py). Returns a ready-to-search
+    ShardedClusterIndex."""
+    from parlayann_tpu.build.clusterindex import (
+        ClusterIndex, balance_assign, _recenter,
+    )
+    from parlayann_tpu.data.pointset import PointSet
+    from parlayann_tpu.parallel.sharded import shard_dataset
+
+    n, dim = data.shape
+    D = mesh.shape["d"]
+    C = max(8, int(-(-n * slack // m)))
+    pts, nl = shard_dataset(data.astype(np.float32), mesh)  # (D, nl, dim)
+
+    rng = np.random.default_rng(seed)
+    init = jnp.asarray(data[rng.choice(n, C, replace=False)], jnp.float32)
+    ids, ds, cents = _sharded_kmeans_assign(
+        pts, init, mesh=mesh, metric=Metric.L2, C=C, n=n, nl=nl,
+        iters=iters, k=cand,
+    )
+    nbr_ids = np.asarray(ids).reshape(D * nl, cand)[:n]
+    nbr_d = np.asarray(ds).reshape(D * nl, cand)[:n]
+    members = balance_assign(nbr_ids, nbr_d, C, m)
+    ps = PointSet.from_numpy(data.astype(np.float32))
+    cents = _recenter(ps.data[:n].astype(jnp.float32), members, C)
+    aid, _ = _assign_centroid_knn(cents, C, Rc)
+    ci = ClusterIndex._finish(ps, members, aid, cents, C, m, Rc)
+    return ShardedClusterIndex.from_cluster_index(ci, mesh)
+
+
+def _assign_centroid_knn(cents, C: int, Rc: int):
+    """Centroid k-NN adjacency (drop self) -> ((C, Rc) int32, None)."""
+    from parlayann_tpu.search.flat import flat_search_batch
+
+    aid, _ = flat_search_batch(
+        cents, cents, k=Rc + 1, metric=Metric.L2, n_valid=C,
+        chunk=min(cents.shape[0], 32768), select="sort",
+    )
+    aid = np.asarray(aid)
+    adj = np.where(aid == np.arange(C, dtype=np.int32)[:, None], -1, aid)
+    adj_list = np.full((C, Rc), -1, np.int32)
+    for c in range(C):
+        row = adj[c][adj[c] >= 0][:Rc]
+        adj_list[c, : len(row)] = row
+    return adj_list, None
+
+
+@partial(
+    jax.jit,
     static_argnames=("mesh", "metric", "C", "m", "Rc", "n_points", "Cl",
                      "nl", "k", "n_probe", "min_probe", "cut", "S", "pool",
                      "rerank_pool", "tier_bits"),

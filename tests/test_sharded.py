@@ -79,3 +79,29 @@ def test_cluster_sharded_search(rng):
                 continue
             true = ((Xf[ids_np[qi, j]] - Qf[qi]) ** 2).sum()
             assert abs(true - d_np[qi, j]) < 1e-2 * max(1.0, true)
+
+
+def test_cluster_sharded_build(rng):
+    """Distributed cluster build (psum'd Lloyd): recall parity with the
+    single-device build on the same data."""
+    from parlayann_tpu.build.clusterindex import ClusterIndex
+    from parlayann_tpu.parallel.cluster_sharded import build_sharded_cluster
+    from parlayann_tpu.harness.recall import compute_recall
+    from parlayann_tpu.utils import synthetic
+
+    n, d, nq, k = 4000, 64, 64, 10
+    X, Q = synthetic.clustered(n, d, n_queries=nq, n_clusters=40,
+                               cluster_std=0.1, seed=6)
+    ps = PointSet.from_numpy(X)
+    gt, gtd = exact.exact_knn(Q, ps, k, chunk=512)
+    gt, gtd = np.asarray(gt), np.asarray(gtd)
+
+    mesh = make_mesh(8, data_axis=8)
+    sci = build_sharded_cluster(X, mesh, m=32, Rc=16, iters=3)
+    ids_s, _, _ = sci.search(Q, k=k, n_probe=8, cut=0.0)
+    rec_s = compute_recall(np.asarray(ids_s), gt, gtd, k)
+
+    ci = ClusterIndex.build(ps, m=32, Rc=16, iters=3)
+    ids_1, _, _ = ci.search(Q, k=k, n_probe=8, cut=0.0)
+    rec_1 = compute_recall(np.asarray(ids_1), gt, gtd, k)
+    assert rec_s >= rec_1 - 0.03, (rec_s, rec_1)
