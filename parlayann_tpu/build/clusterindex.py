@@ -56,12 +56,7 @@ from parlayann_tpu.ops import quantize
 from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.search.flat import flat_search_batch
 
-
-def _pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
+from parlayann_tpu.utils.arrays import pow2 as _pow2
 
 
 def _kmeans_chunk_for(C: int) -> int:
@@ -415,14 +410,20 @@ class ClusterIndex:
         return (*out, dt)
 
     def search(self, queries, k: int = 10, *, n_probe: int = 8,
-               min_probe: int = 0, cut: float = 1.35, starts: int = 2,
+               min_probe: int = 3, cut: float = 1.35, starts: int = 2,
                rerank_factor: int = 2, rerank: str = "full"):
         """-> (ids (B, k), dists (B, k), counters). ``n_probe`` bounds
         expansions per query (the visit limit); ``starts`` seeds the
         cluster beam with the exact top-S centroids (one MXU scan over
         all C centroids — C is tiny). ``rerank="tier"`` skips the
         full-precision gather and returns int8-domain distances (see
-        cluster_search_fused)."""
+        cluster_search_fused).
+
+        The adaptive default (cut=1.35 with a min_probe=3 floor) stops
+        each query once the best remaining centroid is > cut x its best
+        seen — WITHOUT the floor the cut freezes most queries after 1-2
+        probes and costs ~10pp recall on clustered data (measured);
+        cut=0.0 disables the rule and always runs n_probe probes."""
         from parlayann_tpu.ops.pallas.clusterbeam import (
             cluster_search_fused,
         )

@@ -142,9 +142,11 @@ class HNSWIndex:
             entry = jnp.where(entry[:, 0] >= 0, entry[:, 0], 0)
 
         # level 0: the shared fused-kernel machinery with per-query starts
+        # (the fused kernel is single-expansion — expand > 1 takes the
+        # hybrid path below so the requested semantics are honored)
         L = max(ef, k)
         idx = self._base_index()
-        ext = idx.build_inline_ext_cache()
+        ext = idx.build_inline_ext_cache() if expand == 1 else None
         if ext is not None:
             from parlayann_tpu.ops import quantize
             from parlayann_tpu.ops.pallas.fusedbeam import beam_search_fused

@@ -73,17 +73,7 @@ def _fused_search_1d(
 
     qf = q_full.astype(jnp.float32)
     if use_entry:
-        dot = jax.lax.dot_general(
-            qf, evecs.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if metric is Metric.MIPS:
-            dist = -dot
-        else:
-            ev = evecs.astype(jnp.float32)
-            dist = jnp.sum(ev * ev, axis=1)[None, :] - 2.0 * dot
-        j = jnp.argmin(dist, axis=1).astype(jnp.int32)
-        starts = jnp.take(eids, j)[:, None]
+        starts = _entry_top1(qf, evecs, eids, metric=metric)
     if tier_bits >= 32 or slope is None:
         q_t = qf
     elif metric is Metric.L2:
@@ -486,7 +476,13 @@ class Index:
                 f"query dim {d} != index dim {self.points.d}"
             )
         itemsize = (len(queries) - 8) // max(n * d, 1)
-        dt = {4: np.float32, 1: np.uint8}.get(itemsize, np.float32)
+        if itemsize == 1:
+            # 1-byte payloads decode in the index's own dtype: an i8bin
+            # query parsed as uint8 corrupts every negative component
+            dt = (np.int8 if self.points.data.dtype == jnp.int8
+                  else np.uint8)
+        else:
+            dt = np.float32
         q = np.frombuffer(queries, dtype=dt, offset=8,
                           count=n * d).reshape(n, d)
         ids, dists, _ = self.batch_search(

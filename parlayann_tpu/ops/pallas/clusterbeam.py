@@ -48,12 +48,7 @@ from parlayann_tpu.search.rerank import rerank_topk
 
 _INF = float(INF)
 
-
-def _pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
+from parlayann_tpu.utils.arrays import pow2 as _pow2
 
 
 def _step_kernel(
@@ -311,7 +306,7 @@ def cluster_step(
     B = queries.shape[0]
     if jax.default_backend() != "tpu":
         interpret = True
-    block_b = max(G, min(block_b, B))
+    block_b = max(G, (min(block_b, B) // G) * G)
     n_buf = min(n_buf, block_b // G)
     kernel = functools.partial(
         _step_kernel, m=m, Rc=Rc, Rcp=Rcp, d=d, Wc=Wc, Lc=Lc, M=M, C=C,
@@ -423,7 +418,7 @@ def cluster_search_fused(
     else:
         q = q_full.astype(jnp.float32)
 
-    block_b = max(G, min(block_b, ((B0 + 7) // 8) * 8))
+    block_b = max(G, min(block_b, ((B0 + G - 1) // G) * G))
     B = ((B0 + block_b - 1) // block_b) * block_b
     if B != B0:
         q = jnp.pad(q, ((0, B - B0), (0, 0)))

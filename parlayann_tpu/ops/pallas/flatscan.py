@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from parlayann_tpu.types import Metric
 from parlayann_tpu.ops.distance import INF
+from parlayann_tpu.utils.arrays import pow2 as _pow2
 
 _INF = float(INF)
 
@@ -110,12 +111,6 @@ def _kernel(
             cv = jnp.where(w, ad, cv)
             ci = jnp.where(w, ai, ci)
 
-
-def _pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
 
 
 @functools.partial(

@@ -57,12 +57,7 @@ from parlayann_tpu.ops.pallas.bitonic import bitonic_merge, bitonic_sort
 
 _INF = float(INF)
 
-
-def _pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
+from parlayann_tpu.utils.arrays import pow2 as _pow2
 
 
 def build_inline_ext(points_data: jax.Array, nbrs: jax.Array,
@@ -427,7 +422,7 @@ def fused_step(
     B = queries.shape[0]
     if jax.default_backend() != "tpu":
         interpret = True
-    block_b = max(G, min(block_b, B))
+    block_b = max(G, (min(block_b, B) // G) * G)
     n_buf = min(n_buf, block_b // G)  # ring must fit inside one block
     kernel = functools.partial(
         _step_kernel, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
@@ -522,7 +517,7 @@ def beam_search_fused(
 
     # pad the batch to a block multiple: unprocessed tail rows would feed
     # garbage expand ids (= DMA addresses) into the next step
-    block_b = max(G, min(block_b, ((B0 + 7) // 8) * 8))
+    block_b = max(G, min(block_b, ((B0 + G - 1) // G) * G))
     B = ((B0 + block_b - 1) // block_b) * block_b
     if B != B0:
         queries = jnp.pad(queries, ((0, B - B0), (0, 0)))

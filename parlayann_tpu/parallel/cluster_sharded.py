@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from parlayann_tpu.types import Metric
 from parlayann_tpu.ops import quantize
 from parlayann_tpu.ops.distance import INF
+from parlayann_tpu.utils.arrays import pow2 as _pow2
 
 
 @dataclasses.dataclass
@@ -117,12 +118,6 @@ class ShardedClusterIndex:
             rerank_pool=rerank_pool, tier_bits=self.tier_bits,
         )
 
-
-def _pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
 
 
 @partial(

@@ -18,3 +18,11 @@ def as_device(x) -> jax.Array:
     if isinstance(x, jax.Array):
         return x
     return jnp.asarray(np.asarray(x))
+
+
+def pow2(x: int) -> int:
+    """Smallest power of two >= x (lane/sublane sizing helper)."""
+    p = 1
+    while p < x:
+        p *= 2
+    return p

@@ -98,7 +98,9 @@ def main():
     cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                         "bench_cache")
     os.makedirs(cdir, exist_ok=True)
-    gtpath = os.path.join(cdir, f"gt_{n}x{d}_{nq}.npz")
+    # distinct key from bench.py's gt_* caches: this script's dataset is
+    # device-generated (different RNG family at the same (n, d, nq))
+    gtpath = os.path.join(cdir, f"gtdev_{n}x{d}_{nq}.npz")
     if os.path.exists(gtpath):
         z = np.load(gtpath)
         gt_ids, gt_dists = z["ids"], z["dists"]

@@ -37,10 +37,13 @@ def test_beam_search_recall(rng):
     g = _knn_graph(ps, 10)
     gt_ids, _ = exact.exact_knn(q, ps, k, chunk=64)
 
+    # L=48 puts recall ~.93 — the L=32 point sat exactly at the .9
+    # threshold and XLA:CPU's thread-count-dependent reduction order
+    # flipped distance ties across runs (observed .88-.90)
     res = beam_search_batch(
         jnp.asarray(q), ps.data, g.neighbors, g.degrees,
         jnp.asarray([0], dtype=jnp.int32),
-        metric=Metric.L2, n_valid=n, k=k, L=32,
+        metric=Metric.L2, n_valid=n, k=k, L=48,
     )
     ids, dists = top_k_from_beam(res, k)
     ids = np.asarray(ids)

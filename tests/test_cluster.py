@@ -172,3 +172,26 @@ def test_mips_smoke():
         np.asarray(ids), np.asarray(gt_ids), np.asarray(gt_dists), 10
     )
     assert rec >= 0.85, rec
+
+
+def test_odd_batch_sizes(built):
+    """Regression: block_b must round to a multiple of the DMA group G —
+    a 24-query batch used to leave rows 16-23 unprocessed (all -1)."""
+    _, Q, ci, gt_ids, gt_dists = built
+    for B in (24, 40, 100):
+        ids, _, _ = ci.search(Q[:B], k=10, n_probe=8, cut=0.0)
+        ids = np.asarray(ids)
+        assert (ids >= 0).all(), f"B={B}: missing results"
+        full, _, _ = ci.search(Q, k=10, n_probe=8, cut=0.0)
+        np.testing.assert_array_equal(ids, np.asarray(full)[:B])
+
+
+def test_search_default_config(built):
+    """Regression: the default adaptive config (cut with min_probe floor)
+    must stay within a few pp of the exhaustive fixed-probe config."""
+    _, Q, ci, gt_ids, gt_dists = built
+    ids_d, _, _ = ci.search(Q, k=10)
+    ids_f, _, _ = ci.search(Q, k=10, n_probe=8, cut=0.0)
+    rec_d = compute_recall(np.asarray(ids_d), gt_ids, gt_dists, 10)
+    rec_f = compute_recall(np.asarray(ids_f), gt_ids, gt_dists, 10)
+    assert rec_d >= rec_f - 0.04, (rec_d, rec_f)

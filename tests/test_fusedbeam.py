@@ -102,3 +102,34 @@ def test_inline_ext_id_planes(rng):
     slot = np.arange(R)[None, :]
     want = np.where(slot < np.asarray(degs)[:, None], np.asarray(nbrs), -1)
     np.testing.assert_array_equal(ids[:, :R], want)
+
+
+def test_fused_beam_odd_batch(rng):
+    """Regression: block_b must round to a multiple of G — a batch of 24
+    with G=16 used to leave rows 16-23 unprocessed (start point only)."""
+    n, d, R, L, k = 400, 128, 16, 12, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    ps = PointSet.from_numpy(X)
+    qps = quantize.quantize_pointset(ps, bits=8)
+    nbrs = np.empty((n, R), np.int32)
+    for i in range(n):
+        nbrs[i] = rng.choice(n, R, replace=False)
+    nbrs = jnp.asarray(nbrs)
+    degs = jnp.full((n,), R, jnp.int32)
+    Qf = rng.standard_normal((32, d)).astype(np.float32)
+    q_t = quantize.translate_query(jnp.asarray(Qf), qps).astype(jnp.float32)
+    starts = jnp.zeros((1,), jnp.int32)
+    inline_ext = build_inline_ext(qps.data, nbrs, degs)
+
+    full, _, _, _, _ = beam_search_fused(
+        q_t, qps.data, inline_ext, starts,
+        metric=Metric.L2, n_valid=n, k=k, L=L, G=16,
+    )
+    for B in (24, 20):
+        part, _, _, _, _ = beam_search_fused(
+            q_t[:B], qps.data, inline_ext, starts,
+            metric=Metric.L2, n_valid=n, k=k, L=L, G=16,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(part), np.asarray(full)[:B]
+        )
