@@ -212,14 +212,15 @@ def main():
         # the d-lane row) — clamp for small-dim sanity runs
         cb_m = min(int(os.environ.get("CB_M", 64)), ps.d // 8 * 8)
         cb_rc = min(16, ps.d // 8 * 8)
+        cb_dt = os.environ.get("CB_DTYPE", "auto")
         t0 = time.perf_counter()
-        ci = ClusterIndex.build(ps, m=cb_m, Rc=cb_rc)
+        ci = ClusterIndex.build(ps, m=cb_m, Rc=cb_rc, ext_dtype=cb_dt)
         ci_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
-        ci = ClusterIndex.build(ps, m=cb_m, Rc=cb_rc)
+        ci = ClusterIndex.build(ps, m=cb_m, Rc=cb_rc, ext_dtype=cb_dt)
         ci_build = time.perf_counter() - t0
         log(f"cluster build: cold {ci_cold:.2f}s steady {ci_build:.2f}s "
-            f"C={ci.C}")
+            f"C={ci.C} ext={ci.ext_dtype}")
         Qd = _jax.device_put(np.asarray(Q))
         Qd.block_until_ready()
         crows = []
@@ -249,6 +250,7 @@ def main():
             if not mnp and rec > 0.995:
                 break
         cluster = {
+            "ext_dtype": ci.ext_dtype,
             "build_time_s": round(ci_build, 2),
             "n_probe": cbest[0], "recall": round(cbest[1], 4),
             "qps": round(cbest[2], 1),

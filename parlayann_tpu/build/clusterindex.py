@@ -292,30 +292,86 @@ def build_cluster_ext(qdata, members, adj, qcents) -> jax.Array:
     return ext
 
 
+def build_cluster_ext_f32(data_f32, members, adj, cents) -> jax.Array:
+    """Full-precision ext rows -> (C_pad, m + Rc + 2, d) f32.
+
+    DMA rows are priced per DESCRIPTOR on this hardware (a 32 KB f32 row
+    measured the same issue cost as the 8 KB int8 row), so the f32
+    layout costs the same probe time while making the in-kernel pool
+    scores EXACT — no rerank gather, no quantization flips. Ids are
+    stored AS f32 lane values (exact for n < 2^24 = 16.7M; asserted):
+      [0, m)        member vectors f32
+      [m]           member ids as f32 (-1.0 invalid)
+      [m+1, m+1+Rc) adjacent centroid vectors f32
+      [m+1+Rc]      adjacent cluster ids as f32
+    """
+    C, m = members.shape
+    Rc = adj.shape[1]
+    d = data_f32.shape[1]
+    assert m % 8 == 0 and Rc % 8 == 0 and m <= d and Rc <= d
+    assert data_f32.shape[0] < (1 << 24), "f32 id lanes need n < 16.7M"
+    C_pad = -(-C // 8) * 8
+
+    def plane(idr, width):
+        return jnp.pad(
+            idr.astype(jnp.float32), ((0, 0), (0, d - width)),
+            constant_values=-1.0,
+        )[:, None, :]
+
+    mem = jnp.asarray(members)
+    vecs = jnp.take(
+        data_f32, jnp.clip(mem, 0, data_f32.shape[0] - 1).reshape(-1),
+        axis=0,
+    ).reshape(C, m, d)
+    vecs = jnp.where((mem >= 0)[:, :, None], vecs, 0.0)
+    adjj = jnp.asarray(adj)
+    avecs = jnp.take(
+        cents, jnp.clip(adjj, 0, cents.shape[0] - 1).reshape(-1), axis=0
+    ).reshape(C, Rc, d)
+    avecs = jnp.where((adjj >= 0)[:, :, None], avecs, 0.0)
+    ext = jnp.concatenate(
+        [vecs, plane(mem, m), avecs, plane(adjj, Rc)], axis=1
+    )
+    if C_pad != C:
+        ext = jnp.pad(ext, ((0, C_pad - C), (0, 0), (0, 0)))
+        ext = ext.at[C:, m].set(-1.0)
+        ext = ext.at[C:, m + 1 + Rc].set(-1.0)
+    return ext
+
+
 @dataclasses.dataclass
 class ClusterIndex:
     """Two-level cluster index handle. ``search`` runs the fused cluster
     beam (ops/pallas/clusterbeam.py) + full-precision rerank."""
 
     points: PointSet  # full precision (rerank)
-    qpoints: PointSet  # shared q8 domain for members AND centroids
-    centroids_q: jax.Array  # (C_pad, d) int8, same domain
+    qpoints: Optional[PointSet]  # q8 domain (None in f32-ext mode)
+    centroids_q: jax.Array  # (C_pad, d) — ext's domain (int8 or f32)
     members: np.ndarray  # (C, m) int32
     adj: np.ndarray  # (C, Rc) int32
-    ext: jax.Array  # (C_pad, m + Rc + 8, d) int8
+    ext: jax.Array  # (C_pad, m+Rc+8, d) int8 OR (C_pad, m+Rc+2, d) f32
     C: int
     m: int
     Rc: int
+    ext_dtype: str = "int8"
 
     @staticmethod
     def build(points: PointSet, *, m: int = 64, Rc: int = 16,
               iters: int = 6, cand: int = 8, slack: float = 1.25,
-              seed: int = 0, verbose: bool = False) -> "ClusterIndex":
+              seed: int = 0, ext_dtype: str = "auto",
+              verbose: bool = False) -> "ClusterIndex":
         """``slack``: cluster-count overprovision. With C = n/m exactly,
         the capacity balancer is forced to fill every cluster and dumps
         boundary points into arbitrary far clusters — measured to cost
         ~7pp of recall ceiling at 20K (true-NN cluster rank p99 went
-        145 -> single digits with 25% slack)."""
+        145 -> single digits with 25% slack).
+
+        ``ext_dtype``: "f32" packs full-precision member vectors with
+        ids as exact f32 lanes — DMA rows are priced per descriptor, so
+        probes cost the same while the pool scores become EXACT (no
+        rerank gather, no quantization flips). Needs n < 16.7M and ~4x
+        the ext HBM. "int8" is the capacity layout (+ q8 tier + f32
+        rerank). "auto" = f32 when the f32 ext fits ~6 GiB, else int8."""
         n, d = points.n, points.d
         C = max(8, int(-(-n * slack // m)))
         data = points.data[:n].astype(jnp.float32)
@@ -339,12 +395,31 @@ class ClusterIndex:
             row = adj[c][adj[c] >= 0][:Rc]
             adj_list[c, : len(row)] = row
         return ClusterIndex._finish(points, members, adj_list, cents,
-                                    C, m, Rc)
+                                    C, m, Rc, ext_dtype=ext_dtype)
 
     @staticmethod
-    def _finish(points, members, adj, cents, C, m, Rc) -> "ClusterIndex":
-        """Quantize points and centroids into ONE q8 domain (one query
-        translation serves both tiers) and pack the ext rows."""
+    def _finish(points, members, adj, cents, C, m, Rc,
+                ext_dtype: str = "auto") -> "ClusterIndex":
+        """Pack the ext rows. int8 mode quantizes points and centroids
+        into ONE q8 domain (one query translation serves both tiers);
+        f32 mode packs raw vectors (exact scores, no rerank)."""
+        n, d = points.n, points.d
+        if ext_dtype == "auto":
+            f32_bytes = (-(-C // 8) * 8) * (m + Rc + 2) * d * 4
+            ext_dtype = ("f32" if n < (1 << 24) and f32_bytes <= 6 << 30
+                         else "int8")
+        if ext_dtype == "f32":
+            data = points.data[:n].astype(jnp.float32)
+            ext = build_cluster_ext_f32(data, members, adj, cents)
+            C_pad = ext.shape[0]
+            cf = cents.astype(jnp.float32)
+            if cf.shape[0] != C_pad:
+                cf = jnp.pad(cf, ((0, C_pad - cf.shape[0]), (0, 0)))
+            return ClusterIndex(
+                points=points, qpoints=None, centroids_q=cf,
+                members=members, adj=adj, ext=ext, C=C, m=m, Rc=Rc,
+                ext_dtype="f32",
+            )
         qps = quantize.quantize_pointset(points, bits=8)
         cq = quantize.euclidean_translate(
             cents, qps.quant_slope, qps.quant_offset, 8
@@ -359,6 +434,7 @@ class ClusterIndex:
         return ClusterIndex(
             points=points, qpoints=qps, centroids_q=cq.astype(jnp.int8),
             members=members, adj=adj, ext=ext, C=C, m=m, Rc=Rc,
+            ext_dtype="int8",
         )
 
     def save(self, path: str) -> None:
@@ -369,7 +445,7 @@ class ClusterIndex:
         np.savez(
             path, members=self.members, adj=self.adj,
             m=np.int64(self.m), Rc=np.int64(self.Rc), C=np.int64(self.C),
-            n=np.int64(self.points.n),
+            n=np.int64(self.points.n), ext_dtype=np.str_(self.ext_dtype),
         )
 
     @staticmethod
@@ -384,7 +460,9 @@ class ClusterIndex:
             )
         data = points.data[: points.n].astype(jnp.float32)
         cents = _recenter(data, members, C)
-        return ClusterIndex._finish(points, members, adj, cents, C, m, Rc)
+        ext_dtype = str(z["ext_dtype"]) if "ext_dtype" in z else "int8"
+        return ClusterIndex._finish(points, members, adj, cents, C, m, Rc,
+                                    ext_dtype=ext_dtype)
 
     def search_timed(self, queries, *, rounds: int = 1, warmup: bool = True,
                      **kw):
@@ -411,7 +489,7 @@ class ClusterIndex:
 
     def search(self, queries, k: int = 10, *, n_probe: int = 8,
                min_probe: int = 3, cut: float = 1.35, starts: int = 2,
-               rerank_factor: int = 2, rerank: str = "full"):
+               rerank_factor: int = 2, rerank: str = "auto"):
         """-> (ids (B, k), dists (B, k), counters). ``n_probe`` bounds
         expansions per query (the visit limit); ``starts`` seeds the
         cluster beam with the exact top-S centroids (one MXU scan over
@@ -431,11 +509,18 @@ class ClusterIndex:
 
         q_full = as_device(queries)
         pool = min(max(k * rerank_factor, k), 128)
+        if rerank == "auto":
+            # f32 ext: pool scores are already exact full-precision —
+            # "tier" is the exact path and skips the rerank gather
+            rerank = "tier" if self.ext_dtype == "f32" else "full"
+        slope = self.qpoints.quant_slope if self.qpoints else None
+        offset = self.qpoints.quant_offset if self.qpoints else None
+        bits = self.qpoints.bits if self.qpoints else 32
         return cluster_search_fused(
             q_full, self.centroids_q, self.ext, self.points.data,
-            self.qpoints.quant_slope, self.qpoints.quant_offset,
+            slope, offset,
             metric=self.points.metric, C=self.C, m=self.m, Rc=self.Rc,
             n_points=self.points.n, k=k, n_probe=n_probe,
             min_probe=min_probe, cut=cut, S=starts, pool=pool,
-            tier_bits=self.qpoints.bits, rerank=rerank,
+            tier_bits=bits, rerank=rerank,
         )

@@ -64,7 +64,7 @@ def _step_kernel(
     ocbd, ocbp, opd, opi, onv, onext,  # outputs
     vmem, sems, mdbuf, mibuf, adbuf, aibuf,  # scratch
     *, m, Rc, Rcp, d, Wc, Lc, M, C, n_points, metric, cut, n_probe,
-    min_probe, block_b, G, n_buf,
+    min_probe, block_b, G, n_buf, ext_f32=False,
 ):
     bi = pl.program_id(0)
     n_grp = block_b // G
@@ -140,22 +140,35 @@ def _step_kernel(
             sl = pl.ds(g * G, G)
             q = q_ref[sl, :]  # (G, d) f32
 
-            def planes(base, width):
-                b0 = rows[:, base + 0, :].astype(jnp.int32) & 0xFF
-                b1 = rows[:, base + 1, :].astype(jnp.int32) & 0xFF
-                b2 = rows[:, base + 2, :].astype(jnp.int32) & 0xFF
-                b3 = rows[:, base + 3, :].astype(jnp.int32) & 0xFF
-                ids = b0 + (b1 << 8) + (b2 << 16) + (b3 << 24)  # (G, d)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (G, d), 1)
-                # lanes >= width hold zero pad (id 0, NOT -1): mask them
-                return jnp.where(lane < width, ids, -1)[:, :width]
+            if ext_f32:
+                # f32 layout: one id plane per section, ids stored as
+                # exact float values (build_cluster_ext_f32)
+                def planes(base, width):
+                    ids = rows[:, base, :].astype(jnp.int32)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (G, d), 1)
+                    return jnp.where(lane < width, ids, -1)[:, :width]
 
-            mid = planes(m, m)  # (G, m) member ids
-            aid = planes(m + 4 + Rc, Rc)  # (G, Rc) adjacent cluster ids
+                mid = planes(m, m)
+                aid = planes(m + 1 + Rc, Rc)
+                mvecs = rows[:, :m, :]
+                avecs = rows[:, m + 1:m + 1 + Rc, :]
+            else:
+                def planes(base, width):
+                    b0 = rows[:, base + 0, :].astype(jnp.int32) & 0xFF
+                    b1 = rows[:, base + 1, :].astype(jnp.int32) & 0xFF
+                    b2 = rows[:, base + 2, :].astype(jnp.int32) & 0xFF
+                    b3 = rows[:, base + 3, :].astype(jnp.int32) & 0xFF
+                    ids = b0 + (b1 << 8) + (b2 << 16) + (b3 << 24)  # (G, d)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (G, d), 1)
+                    # lanes >= width hold zero pad (id 0, NOT -1): mask
+                    return jnp.where(lane < width, ids, -1)[:, :width]
+
+                mid = planes(m, m)  # (G, m) member ids
+                aid = planes(m + 4 + Rc, Rc)  # (G, Rc) adjacent ids
+                mvecs = rows[:, :m, :].astype(jnp.float32)
+                avecs = rows[:, m + 4:m + 4 + Rc, :].astype(jnp.float32)
 
             # one MXU contraction scores members AND adjacent centroids
-            mvecs = rows[:, :m, :].astype(jnp.float32)
-            avecs = rows[:, m + 4:m + 4 + Rc, :].astype(jnp.float32)
             vecs = jnp.concatenate([mvecs, avecs], axis=1)  # (G, m+Rc, d)
             if metric is Metric.MIPS:
                 prod = vecs * q[:, None, :]
@@ -312,6 +325,7 @@ def cluster_step(
         _step_kernel, m=m, Rc=Rc, Rcp=Rcp, d=d, Wc=Wc, Lc=Lc, M=M, C=C,
         n_points=n_points, metric=metric, cut=cut, n_probe=n_probe,
         min_probe=min_probe, block_b=block_b, G=G, n_buf=n_buf,
+        ext_f32=(ext.dtype == jnp.float32),
     )
     grid = (B // block_b,)
 

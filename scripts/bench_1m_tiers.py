@@ -149,28 +149,35 @@ def main():
         del idx
 
     if "cluster" in which:
-        t0 = time.perf_counter()
-        ci = ClusterIndex.build(ps, m=64)
-        log(f"cluster build: {time.perf_counter()-t0:.1f}s C={ci.C}")
-        t0 = time.perf_counter()
-        ci = ClusterIndex.build(ps, m=64)
-        log(f"cluster build steady: {time.perf_counter()-t0:.1f}s")
-        log(f"cluster ext rows: {np.prod(ci.ext.shape)/2**30:.2f} GiB")
-        log("— cluster index (two-level, m=64) —")
-        for npr in env_beams("PROBES", (8, 12, 16, 24, 32, 48)):
-            best = 1e9
-            out = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                for _r in range(rounds):
-                    out = ci.search(Qd, k=k, n_probe=npr, cut=0.0)
-                _ = np.asarray(out[0][:1])
-                best = min(best, (time.perf_counter() - t0) / rounds)
-            rec = compute_recall(np.asarray(out[0]), gt_ids, gt_dists, k)
-            log(f"  [cluster] probes={npr:3d} recall={rec:.4f} "
-                f"QPS={nq/best:,.0f}")
-            if rec > 0.995:
-                break
+        # both ext modes: int8 is the capacity layout (the 10M+ story),
+        # f32 trades 4x ext HBM for exact pool scores and no rerank pass
+        for dt in ("int8", "f32"):
+            t0 = time.perf_counter()
+            ci = ClusterIndex.build(ps, m=64, ext_dtype=dt)
+            log(f"cluster[{dt}] build: {time.perf_counter()-t0:.1f}s "
+                f"C={ci.C}")
+            t0 = time.perf_counter()
+            ci = ClusterIndex.build(ps, m=64, ext_dtype=dt)
+            log(f"cluster[{dt}] build steady: "
+                f"{time.perf_counter()-t0:.1f}s ext "
+                f"{np.prod(ci.ext.shape)*ci.ext.dtype.itemsize/2**30:.2f} "
+                f"GiB")
+            log(f"— cluster index ({dt} ext, m=64) —")
+            for npr in env_beams("PROBES", (8, 12, 16, 24, 32, 48)):
+                best = 1e9
+                out = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    for _r in range(rounds):
+                        out = ci.search(Qd, k=k, n_probe=npr, cut=0.0)
+                    _ = np.asarray(out[0][:1])
+                    best = min(best, (time.perf_counter() - t0) / rounds)
+                rec = compute_recall(np.asarray(out[0]), gt_ids,
+                                     gt_dists, k)
+                log(f"  [cluster-{dt}] probes={npr:3d} recall={rec:.4f} "
+                    f"QPS={nq/best:,.0f}")
+                if rec > 0.995:
+                    break
 
 
 if __name__ == "__main__":

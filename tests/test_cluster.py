@@ -24,7 +24,9 @@ def built():
         5000, 64, n_queries=64, n_clusters=50, cluster_std=0.35, seed=7
     )
     ps = PointSet.from_numpy(X)
-    ci = ClusterIndex.build(ps, m=64, Rc=16, iters=3)
+    # int8 ext pinned: the fixture tests assert the byte-plane layout
+    # and the rerank-tier distinction, both int8-mode contracts
+    ci = ClusterIndex.build(ps, m=64, Rc=16, iters=3, ext_dtype="int8")
     gt_ids, gt_dists = compute_groundtruth(ps, Q, k=10, query_batch=64)
     return ps, Q, ci, np.asarray(gt_ids), np.asarray(gt_dists)
 
@@ -195,3 +197,33 @@ def test_search_default_config(built):
     rec_d = compute_recall(np.asarray(ids_d), gt_ids, gt_dists, 10)
     rec_f = compute_recall(np.asarray(ids_f), gt_ids, gt_dists, 10)
     assert rec_d >= rec_f - 0.04, (rec_d, rec_f)
+
+
+def test_f32_ext_mode(built, tmp_path):
+    """f32 ext rows: exact pool scores (no rerank gather), recall >= the
+    int8+rerank path, save/load keeps the mode."""
+    ps, Q, ci8, gt_ids, gt_dists = built
+    cif = ClusterIndex.build(ps, m=64, Rc=16, iters=3, ext_dtype="f32")
+    assert cif.ext_dtype == "f32" and cif.qpoints is None
+    ids8, _, _ = ci8.search(Q, k=10, n_probe=8, cut=0.0)
+    idsf, distsf, _ = cif.search(Q, k=10, n_probe=8, cut=0.0)
+    rec8 = compute_recall(np.asarray(ids8), gt_ids, gt_dists, 10)
+    recf = compute_recall(np.asarray(idsf), gt_ids, gt_dists, 10)
+    assert recf >= rec8 - 0.01, (recf, rec8)
+    # returned distances are exact full-precision (no tier domain)
+    X = np.asarray(ps.data[: ps.n], np.float32)
+    Qn = np.asarray(Q, np.float32)
+    idsf = np.asarray(idsf)
+    distsf = np.asarray(distsf)
+    for qi in range(0, len(Qn), 13):
+        for j in range(10):
+            if idsf[qi, j] < 0:
+                continue
+            true = ((X[idsf[qi, j]] - Qn[qi]) ** 2).sum()
+            assert abs(true - distsf[qi, j]) < 1e-3 * max(1.0, true)
+    p = str(tmp_path / "cif.npz")
+    cif.save(p)
+    cif2 = ClusterIndex.load(p, ps)
+    assert cif2.ext_dtype == "f32"
+    ids2, _, _ = cif2.search(Q, k=10, n_probe=8, cut=0.0)
+    np.testing.assert_array_equal(np.asarray(ids2), idsf)
