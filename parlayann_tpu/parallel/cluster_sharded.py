@@ -68,6 +68,11 @@ class ShardedClusterIndex:
         """Shard a built ClusterIndex: member payload by cluster block,
         f32 points by row range, centroids replicated."""
         D = mesh.shape["d"]
+        if ci.qpoints is None:
+            raise ValueError(
+                "sharded capacity mode needs the int8 ext layout — "
+                "build the ClusterIndex with ext_dtype='int8'"
+            )
         qdata = np.asarray(ci.qpoints.data)
         members = ci.members  # (C, m)
         C, m = members.shape
@@ -221,7 +226,9 @@ def build_sharded_cluster(
     ps = PointSet.from_numpy(data.astype(np.float32))
     cents = _recenter(ps.data[:n].astype(jnp.float32), members, C)
     aid, _ = _assign_centroid_knn(cents, C, Rc)
-    ci = ClusterIndex._finish(ps, members, aid, cents, C, m, Rc)
+    # sharding IS the capacity regime: always the int8 payload layout
+    ci = ClusterIndex._finish(ps, members, aid, cents, C, m, Rc,
+                              ext_dtype="int8")
     return ShardedClusterIndex.from_cluster_index(ci, mesh)
 
 

@@ -59,7 +59,7 @@ def test_cluster_sharded_search(rng):
     ps = PointSet.from_numpy(X)
     gt, gtd = exact.exact_knn(Q, ps, k, chunk=512)
     gt, gtd = np.asarray(gt), np.asarray(gtd)
-    ci = ClusterIndex.build(ps, m=32, Rc=16, iters=3)
+    ci = ClusterIndex.build(ps, m=32, Rc=16, iters=3, ext_dtype="int8")
 
     mesh = make_mesh(8, data_axis=8)
     sci = ShardedClusterIndex.from_cluster_index(ci, mesh)
