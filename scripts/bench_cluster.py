@@ -36,6 +36,7 @@ def main():
     rounds = int(os.environ.get("BENCH_ROUNDS", 10))
     m = int(os.environ.get("CB_M", 64))
     Rc = int(os.environ.get("CB_RC", 16))
+    dt = os.environ.get("CB_DTYPE", "auto")
     k = 10
 
     log(f"devices: {jax.devices()}")
@@ -59,10 +60,10 @@ def main():
         np.savez(gtpath, ids=gt_ids, dists=gt_dists)
 
     t0 = time.perf_counter()
-    ci = ClusterIndex.build(ps, m=m, Rc=Rc)
+    ci = ClusterIndex.build(ps, m=m, Rc=Rc, ext_dtype=dt)
     cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    ci = ClusterIndex.build(ps, m=m, Rc=Rc)
+    ci = ClusterIndex.build(ps, m=m, Rc=Rc, ext_dtype=dt)
     steady = time.perf_counter() - t0
     log(f"cluster build: cold {cold:.2f}s steady {steady:.2f}s "
         f"C={ci.C} m={ci.m} Rc={ci.Rc}")
