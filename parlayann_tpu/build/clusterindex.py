@@ -170,6 +170,13 @@ def balance_assign(nbr_ids: np.ndarray, nbr_d: np.ndarray, C: int,
     """
     n, kk = nbr_ids.shape
     order = np.argsort(nbr_d[:, 0], kind="stable").astype(np.int64)
+    # native C++ path (native/balance.cpp): bit-identical semantics,
+    # ~10-50x faster at 10M (this loop is the build's host hot spot)
+    from parlayann_tpu import native as _native
+
+    nm = _native.balance_assign(nbr_ids, order, C, m)
+    if nm is not None:
+        return nm
     members = np.full((C, m), -1, np.int32)
     fill = np.zeros(C, np.int64)
     pending = order  # in priority order, invariant kept per round

@@ -18,7 +18,8 @@ import threading
 import numpy as np
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_ROOT, "native", "kruskal.cpp")
+_SRCS = [os.path.join(_ROOT, "native", f)
+         for f in ("kruskal.cpp", "balance.cpp")]
 _LIB = os.path.join(_ROOT, "native", "libparlayann_native.so")
 _lock = threading.Lock()
 _lib = None
@@ -31,12 +32,13 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if (not os.path.exists(_LIB)) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            if (not os.path.exists(_LIB)) or any(
+                os.path.getmtime(_LIB) < os.path.getmtime(src)
+                for src in _SRCS
             ):
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-fopenmp", _SRC, "-o", _LIB],
+                     "-fopenmp", *_SRCS, "-o", _LIB],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(_LIB)
@@ -48,6 +50,13 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32),
             ]
             lib.kruskal_leaves.restype = None
+            lib.balance_assign.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.balance_assign.restype = ctypes.c_int32
             _lib = lib
         except Exception:
             _build_failed = True
@@ -117,3 +126,27 @@ def kruskal_leaves(
             if comps == 1:
                 break
     return out_u, out_v, counts
+
+
+def balance_assign(nbr_ids: np.ndarray, order: np.ndarray, C: int,
+                   m: int):
+    """Native capacity-balanced assignment (native/balance.cpp) ->
+    members (C, m) int32, or None when the library is unavailable (the
+    caller falls back to the vectorized numpy implementation — same
+    semantics, the test oracle)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, k = nbr_ids.shape
+    nbr_ids = np.ascontiguousarray(nbr_ids, dtype=np.int32)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    members = np.full((C, m), -1, dtype=np.int32)
+    rc = lib.balance_assign(
+        _as_i32p(nbr_ids),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n), ctypes.c_int32(k), ctypes.c_int32(C),
+        ctypes.c_int32(m), _as_i32p(members),
+    )
+    if rc != 0:
+        raise AssertionError("capacity < n (slack too low)")
+    return members

@@ -227,3 +227,27 @@ def test_f32_ext_mode(built, tmp_path):
     assert cif2.ext_dtype == "f32"
     ids2, _, _ = cif2.search(Q, k=10, n_probe=8, cut=0.0)
     np.testing.assert_array_equal(np.asarray(ids2), idsf)
+
+
+def test_native_balance_matches_numpy():
+    """native/balance.cpp is bit-identical to the vectorized numpy
+    balancer (which stays as fallback + oracle)."""
+    from parlayann_tpu import native as natmod
+    from parlayann_tpu.build import clusterindex as cim
+
+    rng = np.random.default_rng(3)
+    n, C, m, k = 20000, 400, 64, 8
+    ids = rng.integers(0, C, (n, k)).astype(np.int32)
+    ids[rng.random((n, k)) < 0.05] = -1
+    d = rng.random((n, k)).astype(np.float32)
+    order = np.argsort(d[:, 0], kind="stable").astype(np.int64)
+    nm = natmod.balance_assign(ids, order, C, m)
+    if nm is None:
+        pytest.skip("native toolchain unavailable")
+    real = natmod.balance_assign
+    natmod.balance_assign = lambda *a, **kw: None
+    try:
+        ref = cim.balance_assign(ids, d, C, m)
+    finally:
+        natmod.balance_assign = real
+    np.testing.assert_array_equal(nm, ref)
