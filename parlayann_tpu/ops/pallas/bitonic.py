@@ -48,19 +48,28 @@ def _default_roll(v, s):
     return jnp.roll(v, s, axis=-1)
 
 
-def bitonic_sort(key, *payload, roll=_default_roll):
+def bitonic_sort(key, *payload, roll=_default_roll, seg=None):
     """Ascending sort of each row's lanes by ``key``; payload reordered
     alongside. Lane count must be a power of two. Returns (key, *payload).
     ``roll``: lane-rotate fn — kernels pass the native pltpu.roll (jnp.roll
     lowers to slice+concat pairs in Mosaic, ~2x the ops).
+
+    ``seg``: sort each aligned ``seg``-lane segment independently (packed
+    rows). The XOR-butterfly partner lane ``l ^ j`` never leaves an
+    aligned pow2 segment for ``j < seg``, so the same full-row cyclic
+    rolls implement the segment-local exchange; only the direction mask
+    switches to lane-within-segment bits.
     """
     W = key.shape[-1]
+    seg = seg or W
     assert W & (W - 1) == 0, "lane count must be a power of two"
+    assert seg & (seg - 1) == 0 and W % seg == 0
     vals = (key,) + payload
-    lane = _lane_iota(key.shape)
+    lane = _lane_iota(key.shape) & (seg - 1)
     k = 2
-    while k <= W:
-        # direction of each k-block alternates to build bitonic runs
+    while k <= seg:
+        # direction of each k-block alternates to build bitonic runs;
+        # at k == seg the mask is all-True (every segment sorts ascending)
         up = (lane & k) == 0
         j = k // 2
         while j >= 1:
@@ -70,16 +79,19 @@ def bitonic_sort(key, *payload, roll=_default_roll):
     return vals
 
 
-def bitonic_merge(key, *payload, roll=_default_roll):
+def bitonic_merge(key, *payload, roll=_default_roll, seg=None):
     """Merge rows whose lanes form a bitonic sequence (e.g. an ascending
     half followed by a descending half) into ascending order. log2(W)
     stages — 4x cheaper than a full sort when both halves are pre-sorted.
+    ``seg``: merge each aligned ``seg``-lane segment independently.
     """
     W = key.shape[-1]
+    seg = seg or W
     assert W & (W - 1) == 0
+    assert seg & (seg - 1) == 0 and W % seg == 0
     vals = (key,) + payload
     up = jnp.ones(key.shape, bool)
-    j = W // 2
+    j = seg // 2
     while j >= 1:
         vals = _butterfly(vals, j, up, roll)
         j //= 2

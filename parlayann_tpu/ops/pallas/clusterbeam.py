@@ -44,6 +44,9 @@ from parlayann_tpu.types import Metric
 from parlayann_tpu.ops import quantize
 from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.ops.pallas.bitonic import bitonic_merge, bitonic_sort
+from parlayann_tpu.ops.pallas.fusedbeam import (
+    _kroll, _pack_factor, _pack_lanes, _unpack_lanes,
+)
 from parlayann_tpu.search.rerank import rerank_topk
 
 _INF = float(INF)
@@ -237,7 +240,20 @@ def _step_kernel(
             dup = dup | (aid == bid[:, l:l + 1])
         ad = jnp.where(dup, _INF, ad)
         apack = jnp.where(ad < _INF, aid * 2 + 1, (C + lane_rcp) * 2 + 1)
-        negd, apack_s = bitonic_sort(-ad, apack)
+        # packed sort/merge: see fusedbeam phase B — narrow lane counts
+        # (Rcp=16, 2*Wc=32 at defaults) waste most of each 128-lane vreg
+        import os
+        _packb = os.environ.get("PARLAYANN_PACKB", "1") == "1"
+        Pc = _pack_factor(Rcp, block_b) if _packb else 1
+        if Pc > 1:
+            negd_p, apack_p = bitonic_sort(
+                _pack_lanes(-ad, Pc), _pack_lanes(apack, Pc),
+                seg=Rcp, roll=_kroll,
+            )
+            negd = _unpack_lanes(negd_p, Pc)
+            apack_s = _unpack_lanes(apack_p, Pc)
+        else:
+            negd, apack_s = bitonic_sort(-ad, apack, roll=_kroll)
         c_take = min(Wc, Rcp)
         adp = -negd[:, Rcp - c_take:]  # smallest c_take, descending
         app = apack_s[:, Rcp - c_take:]
@@ -250,9 +266,18 @@ def _step_kernel(
             parts_p.append((C + Rcp + lane_pad) * 2 + 1)
         parts_d.append(adp)
         parts_p.append(app)
-        ncbd, ncbp = bitonic_merge(
-            jnp.concatenate(parts_d, axis=1), jnp.concatenate(parts_p, axis=1)
-        )
+        mgd = jnp.concatenate(parts_d, axis=1)
+        mgp = jnp.concatenate(parts_p, axis=1)
+        Pm = _pack_factor(2 * Wc, block_b) if _packb else 1
+        if Pm > 1:
+            ncbd_p, ncbp_p = bitonic_merge(
+                _pack_lanes(mgd, Pm), _pack_lanes(mgp, Pm),
+                seg=2 * Wc, roll=_kroll,
+            )
+            ncbd = _unpack_lanes(ncbd_p, Pm)
+            ncbp = _unpack_lanes(ncbp_p, Pm)
+        else:
+            ncbd, ncbp = bitonic_merge(mgd, mgp, roll=_kroll)
         ncbd = ncbd[:, :Wc]
         ncbp = ncbp[:, :Wc]
         ncbd = jnp.where(lane_wc < Lc, ncbd, _INF)

@@ -45,6 +45,7 @@ lanes >= L are INF/sentinel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +109,38 @@ def _at_lane(x, lane_f, pos):
     return jnp.sum(
         jnp.where(lane_f == float(pos), x, 0.0), axis=1, keepdims=True
     )
+
+
+def _kroll(v, s):
+    """Kernel-side cyclic lane rotate: Mosaic's native roll is one op
+    where jnp.roll lowers to slice+concat pairs (~2x). Interpret-mode
+    semantics match jnp.roll (verified in tests)."""
+    return pltpu.roll(v, s % v.shape[-1], axis=v.ndim - 1)
+
+
+def _pack_lanes(a, P):
+    """(B, W) -> (B//P, P*W): P row-blocks side by side. With W < 128 the
+    unpacked array wastes 1 - W/128 of every 128-lane vreg; packing P
+    independent rows per vreg makes each bitonic stage move P-fold fewer
+    vregs (the networks become seg=W segmented sorts on the packed rows)."""
+    n = a.shape[0] // P
+    return jnp.concatenate([a[i * n:(i + 1) * n] for i in range(P)], axis=1)
+
+
+def _unpack_lanes(a, P):
+    W = a.shape[1] // P
+    return jnp.concatenate([a[:, i * W:(i + 1) * W] for i in range(P)],
+                           axis=0)
+
+
+def _pack_factor(width, block_b):
+    """Largest pow2 P with P*width <= 128, P | block_b, block_b//P >= 8
+    (full sublane utilization of the packed rows)."""
+    P = 128 // width if width <= 128 else 1
+    P = 1 << (P.bit_length() - 1) if P >= 1 else 1
+    while P > 1 and (block_b % P or block_b // P < 8):
+        P //= 2
+    return max(P, 1)
 
 
 def _step_kernel(
@@ -343,8 +376,20 @@ def _step_body(
     cpack = jnp.where(cd < _INF, cid * 2 + 1, (n_valid + lane_rp) * 2 + 1)
 
     # sort candidates DESCENDING (ascending by negated key): the Wb
-    # smallest candidates land in the LAST lanes, in decreasing order
-    negd, cpack_s = bitonic_sort(-cd, cpack)
+    # smallest candidates land in the LAST lanes, in decreasing order.
+    # Packed: Pc row-blocks share each 128-lane vreg (PARLAYANN_PACKB=0
+    # restores the unpacked layout for A/B).
+    _packb = os.environ.get("PARLAYANN_PACKB", "1") == "1"
+    Pc = _pack_factor(Rp, block_b) if _packb else 1
+    if Pc > 1:
+        negd_p, cpack_p = bitonic_sort(
+            _pack_lanes(-cd, Pc), _pack_lanes(cpack, Pc),
+            seg=Rp, roll=_kroll,
+        )
+        negd = _unpack_lanes(negd_p, Pc)
+        cpack_s = _unpack_lanes(cpack_p, Pc)
+    else:
+        negd, cpack_s = bitonic_sort(-cd, cpack, roll=_kroll)
     c_take = min(Wb, Rp)
     cdp = -negd[:, Rp - c_take:]  # (block_b, c_take) smallest, descending
     cpp = cpack_s[:, Rp - c_take:]
@@ -362,7 +407,16 @@ def _step_body(
     parts_p.append(cpp)
     mdist = jnp.concatenate(parts_d, axis=1)  # (block_b, 2*Wb)
     mpack = jnp.concatenate(parts_p, axis=1)
-    ndist, npack = bitonic_merge(mdist, mpack)
+    Pm = _pack_factor(2 * Wb, block_b) if _packb else 1
+    if Pm > 1:
+        ndist_p, npack_p = bitonic_merge(
+            _pack_lanes(mdist, Pm), _pack_lanes(mpack, Pm),
+            seg=2 * Wb, roll=_kroll,
+        )
+        ndist = _unpack_lanes(ndist_p, Pm)
+        npack = _unpack_lanes(npack_p, Pm)
+    else:
+        ndist, npack = bitonic_merge(mdist, mpack, roll=_kroll)
     ndist = ndist[:, :Wb]
     npack = npack[:, :Wb]
     ndist = jnp.where(lane_wb < L, ndist, _INF)

@@ -33,6 +33,38 @@ def test_bitonic_merge(rng):
     np.testing.assert_array_equal(np.asarray(mk), np.sort(k, axis=1))
 
 
+def test_bitonic_sort_segmented(rng):
+    """Packed rows: each aligned seg-lane segment sorts independently."""
+    for W, seg in ((128, 64), (128, 32), (64, 16), (128, 128)):
+        k = rng.standard_normal((16, W)).astype(np.float32)
+        p = rng.permutation(16 * W).reshape(16, W).astype(np.int32)
+        sk, sp = bitonic_sort(jnp.asarray(k), jnp.asarray(p), seg=seg)
+        ref = np.sort(k.reshape(16, W // seg, seg), axis=2).reshape(16, W)
+        np.testing.assert_array_equal(np.asarray(sk), ref)
+        # payload rides along: keys gathered via the sorted payload match
+        kr = k.reshape(-1)[np.asarray(sp).reshape(-1) // 1]
+        # payload is a permutation of row-unique values; check pairing
+        flat_p = p.reshape(16 * W)
+        inv = np.empty_like(flat_p)
+        inv[flat_p] = np.arange(16 * W)
+        np.testing.assert_array_equal(
+            k.reshape(-1)[inv[np.asarray(sp).reshape(-1)]],
+            np.asarray(sk).reshape(-1))
+
+
+def test_bitonic_merge_segmented(rng):
+    W, seg = 128, 32
+    rows = 8
+    a = np.sort(rng.standard_normal((rows, W // seg, seg // 2)).astype(
+        np.float32), axis=2)
+    b = np.sort(rng.standard_normal((rows, W // seg, seg // 2)).astype(
+        np.float32), axis=2)[:, :, ::-1]
+    k = np.concatenate([a, b], axis=2).reshape(rows, W)
+    mk, = bitonic_merge(jnp.asarray(k), seg=seg)
+    ref = np.sort(k.reshape(rows, W // seg, seg), axis=2).reshape(rows, W)
+    np.testing.assert_array_equal(np.asarray(mk), ref)
+
+
 def test_fused_beam_matches_xla(rng):
     """Valid beam entries, visited counts and dist_cmps all equal the
     XLA beam_search_batch on a duplicate-free graph (the kernel's
