@@ -118,19 +118,40 @@ def _kroll(v, s):
     return pltpu.roll(v, s % v.shape[-1], axis=v.ndim - 1)
 
 
+_PACK_MODE = os.environ.get("PARLAYANN_PACK_MODE", "roll")
+
+
 def _pack_lanes(a, P):
-    """(B, W) -> (B//P, P*W): P row-blocks side by side. With W < 128 the
-    unpacked array wastes 1 - W/128 of every 128-lane vreg; packing P
-    independent rows per vreg makes each bitonic stage move P-fold fewer
-    vregs (the networks become seg=W segmented sorts on the packed rows)."""
-    n = a.shape[0] // P
-    return jnp.concatenate([a[i * n:(i + 1) * n] for i in range(P)], axis=1)
+    """(B, W) -> (B//P, P*W): pack P rows per 128-lane vreg row. With
+    W < 128 the unpacked array wastes 1 - W/128 of every vreg; packing
+    makes each bitonic stage move P-fold fewer vregs (the networks become
+    seg=W segmented sorts on the packed rows).
+
+    "roll" (default) groups strided row-blocks via pad+roll+select —
+    Mosaic rejects both lane-offset slice concats AND (B, W)->(B/P, PW)
+    shape casts ("unsupported shape cast", measured on v5e), so this is
+    the only lowering that compiles; "reshape" is kept for future Mosaic
+    versions."""
+    n, W = a.shape[0] // P, a.shape[1]
+    if _PACK_MODE == "reshape":
+        return a.reshape(n, P * W)
+    Wt = P * W
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, Wt), 1)
+    out = jnp.pad(a[:n], ((0, 0), (0, Wt - W)))
+    for i in range(1, P):
+        wide = jnp.pad(a[i * n:(i + 1) * n], ((0, 0), (0, Wt - W)))
+        out = jnp.where(lane < i * W, out, _kroll(wide, i * W))
+    return out
 
 
 def _unpack_lanes(a, P):
     W = a.shape[1] // P
-    return jnp.concatenate([a[:, i * W:(i + 1) * W] for i in range(P)],
-                           axis=0)
+    if _PACK_MODE == "reshape":
+        return a.reshape(a.shape[0] * P, W)
+    parts = [a[:, :W]]
+    for i in range(1, P):
+        parts.append(_kroll(a, -i * W)[:, :W])
+    return jnp.concatenate(parts, axis=0)
 
 
 def _pack_factor(width, block_b):
