@@ -148,10 +148,35 @@ def _unpack_lanes(a, P):
     W = a.shape[1] // P
     if _PACK_MODE == "reshape":
         return a.reshape(a.shape[0] * P, W)
+    # At packed width 128 (a full vreg row) Mosaic materializes the rolls
+    # and the plain slice concat lowers (probed OK for 8..256 rows). At
+    # partial widths it instead folds the roll into a lane-offset *layout*
+    # and the axis-0 concatenate fails ("result/input offset mismatch on
+    # non-concat dimension") — there, a where against an offset-0 iota
+    # forces materialization first. Partial widths only arise for small
+    # clamped blocks, which are dispatch-bound anyway.
+    full_vreg = a.shape[1] == 128
+    lane = None if full_vreg else jax.lax.broadcasted_iota(
+        jnp.int32, a.shape, a.ndim - 1)
     parts = [a[:, :W]]
     for i in range(1, P):
-        parts.append(_kroll(a, -i * W)[:, :W])
+        r = _kroll(a, -i * W)
+        if not full_vreg:
+            r = jnp.where(lane < W, r, jnp.zeros((), a.dtype))
+        parts.append(r[:, :W])
     return jnp.concatenate(parts, axis=0)
+
+
+def _auto_block(block_b, G, Wb, Rp):
+    """Shrink block_b until phase B's unrolled bitonic intermediates fit
+    the 16 MiB scoped-VMEM stack: the merge works on (block_b, 2*Wb)
+    f32+i32 pairs and the compiler keeps several stages live, so wide
+    beams (L >= ~64 -> Wb >= 128) OOM at block_b=512 (33.6M measured at
+    Wb=128). block_b * max(Wb, Rp) <= 16384 keeps the measured worst case
+    ~8M. Stays a multiple of G."""
+    while block_b > G and block_b * max(Wb, Rp) > 16384:
+        block_b = max(G, (block_b // 2 // G) * G)
+    return block_b
 
 
 def _pack_factor(width, block_b):
@@ -498,6 +523,7 @@ def fused_step(
     if jax.default_backend() != "tpu":
         interpret = True
     block_b = max(G, (min(block_b, B) // G) * G)
+    block_b = _auto_block(block_b, G, Wb, Rp)
     n_buf = min(n_buf, block_b // G)  # ring must fit inside one block
     kernel = functools.partial(
         _step_kernel, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
@@ -593,6 +619,7 @@ def beam_search_fused(
     # pad the batch to a block multiple: unprocessed tail rows would feed
     # garbage expand ids (= DMA addresses) into the next step
     block_b = max(G, min(block_b, ((B0 + G - 1) // G) * G))
+    block_b = _auto_block(block_b, G, Wb, Rp)
     B = ((B0 + block_b - 1) // block_b) * block_b
     if B != B0:
         queries = jnp.pad(queries, ((0, B - B0), (0, 0)))

@@ -25,7 +25,7 @@ def main():
     from parlayann_tpu.ops.pallas import fusedbeam as fb
 
     tag = (f"PACKB={os.environ.get('PARLAYANN_PACKB', '1')} "
-           f"mode={os.environ.get('PARLAYANN_PACK_MODE', 'reshape')}")
+           f"mode={os.environ.get('PARLAYANN_PACK_MODE', 'roll')}")
     print(f"devices: {jax.devices()}  {tag}", flush=True)
 
     n, d, R, B = 100_000, 128, 64, 10_240
