@@ -103,7 +103,7 @@ class Index:
     inline: Optional[object] = None
     use_inline: bool = True
     bit_points: Optional[PointSet] = None  # packed 1-bit tier
-    inline_bits: Optional[object] = None  # (n, R, W) packed-word inline cache
+    inline_bits: Optional[object] = None  # (n, rws, 128) flat packed-word inline
     jl_tier: Optional[object] = None  # quantize.JLTier
     t2_points: Optional[PointSet] = None  # ternary 2-bit MIPS tier
     t4_points: Optional[PointSet] = None  # packed int4 MIPS tier
@@ -241,18 +241,22 @@ class Index:
         self.entry_vecs = jnp.take(self.points.data, self.entry_ids, axis=0)
 
     def build_inline_bits_cache(self, src: PointSet):
-        """Packed-word inline cache for the 1-bit tiers (n, R, W) uint32 —
-        32x smaller than the f32 inline, so it fits HBM at n where the
-        scalar tiers cannot; feeds the popcount variant of the Pallas
-        expansion kernel. Keyed on the source PointSet: the 1-bit tier and
-        the JL sign-bit tier have different word widths, so a stale cache
-        from the other tier would compute wrong hamming distances."""
-        from parlayann_tpu.ops.pallas.expand import build_inline
+        """Flat packed-word inline cache for the 1-bit tiers
+        (n, rws, 128) uint32 — 32x smaller than the f32 inline, so it fits
+        HBM at n where the scalar tiers cannot; feeds the flat popcount
+        expansion kernel (build_inline_bits_flat documents why the words
+        are flattened into 128-lane rows). Keyed on the source PointSet:
+        the 1-bit tier and the JL sign-bit tier have different word
+        widths, so a stale cache from the other tier would compute wrong
+        hamming distances."""
+        from parlayann_tpu.ops.pallas.expand import build_inline_bits_flat
 
         if self.use_inline and (
             self.inline_bits is None or self._inline_bits_src != id(src)
         ):
-            self.inline_bits = build_inline(src.data, self.graph.neighbors)
+            self.inline_bits = build_inline_bits_flat(
+                src.data, self.graph.neighbors
+            )
             self._inline_bits_src = id(src)
         return self.inline_bits
 

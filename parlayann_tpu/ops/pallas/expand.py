@@ -188,6 +188,161 @@ def expand_distances(
     )(expand_ids, queries, inline)[:B0]
 
 
+def build_inline_bits_flat(packed: jax.Array, nbrs: jax.Array) -> jax.Array:
+    """(n_pad, W) packed uint32 words, (n_pad, R) -> (n_pad, rws, 128)
+    uint32 flat bit-inline: neighbor r's words live at flat lanes
+    [r*Wp, (r+1)*Wp) with Wp = W rounded up to a power of two (zero pad —
+    XOR+popcount adds nothing for zero words).
+
+    Why flat: Mosaic tiles the minor HBM dim to 128 lanes and rejects DMA
+    row slices narrower than that ("slice shape along dimension 2 must be
+    aligned to tiling (128)", v5e at W=4 for d=128). Flattening R x Wp
+    words into full 128-lane rows keeps the per-vertex copy one aligned
+    descriptor; the kernel reduces each Wp-lane group in place.
+    Requires Wp <= 128 (d <= 4096 bits); callers fall back to the XLA
+    path beyond that."""
+    n_pad, R = nbrs.shape
+    R8 = (R + 7) // 8 * 8
+    if R8 != R:
+        nbrs = jnp.pad(nbrs, ((0, 0), (0, R8 - R)))
+    W = packed.shape[1]
+    Wp = 1 << (W - 1).bit_length()
+    assert Wp <= 128, f"flat bit inline needs <= 4096 bits (W={W})"
+    flat = R8 * Wp
+    rws = (flat + 127) // 128
+    lanes = rws * 128
+
+    def chunk_fn(rows):
+        v = jnp.take(packed, jnp.clip(rows, 0, n_pad - 1), axis=0)
+        if Wp != W:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, Wp - W)))
+        v = v.reshape(v.shape[0], flat)
+        if lanes != flat:
+            v = jnp.pad(v, ((0, 0), (0, lanes - flat)))
+        return v.reshape(v.shape[0], rws, 128)
+
+    chunk = max(1, 2_000_000 // max(R8, 1))
+    chunk = min(chunk, n_pad)
+    while n_pad % chunk:
+        chunk -= 1
+    return jax.lax.map(
+        chunk_fn, nbrs.reshape(n_pad // chunk, chunk, R8)
+    ).reshape(n_pad, rws, 128)
+
+
+def _expand_bits_kernel(ids_ref, q_ref, inline_hbm, out_ref, vmem, sems, *,
+                        rws, Wp, n_buf, block_b, group):
+    """q_ref: (block_b, rws*128) uint32 — the query's Wp words tiled across
+    every lane group. out: (block_b, rws*128) f32 — lane r*Wp holds the
+    hamming distance to flat neighbor r (other lanes carry partial sums
+    the caller ignores)."""
+    bi = pl.program_id(0)
+    n_grp = block_b // group
+
+    def dma(slot, g, j):
+        return pltpu.make_async_copy(
+            inline_hbm.at[ids_ref[bi * block_b + g * group + j]],
+            vmem.at[slot, j], sems.at[slot, j],
+        )
+
+    for s in range(n_buf):
+        for j in range(group):
+            dma(s, s, j).start()
+
+    def loop(g, _):
+        slot = jax.lax.rem(g, n_buf)
+        for j in range(group):
+            dma(slot, g, j).wait()
+        rows = vmem[slot]  # (group, rws, 128) uint32
+        sl = pl.ds(g * group, group)
+        q = q_ref[sl, :]  # (group, rws*128)
+        for j in range(rws):
+            x = jnp.bitwise_xor(rows[:, j, :], q[:, j * 128:(j + 1) * 128])
+            s = jax.lax.population_count(x).astype(jnp.int32)
+            sh = 1
+            while sh < Wp:
+                # s[l] += s[l + sh]: left-roll; group sums land on the
+                # group-start lanes (r*Wp), which never wrap
+                s = s + pltpu.roll(s, (128 - sh) % 128, axis=1)
+                sh *= 2
+            out_ref[sl, j * 128:(j + 1) * 128] = s.astype(jnp.float32)
+
+        nxt = g + n_buf
+
+        @pl.when(nxt < n_grp)
+        def _():
+            for j in range(group):
+                dma(slot, nxt, j).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, n_grp, loop, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "n_buf", "interpret", "group")
+)
+def expand_bits_flat(
+    inline: jax.Array,  # (n_pad, rws, 128) uint32 (build_inline_bits_flat)
+    expand_ids: jax.Array,  # (B,)
+    q_bits: jax.Array,  # (B, W) packed query words
+    *,
+    block_b: int = 256,
+    n_buf: int = 8,
+    interpret: bool = False,
+    group: int = 4,
+) -> jax.Array:
+    """-> (B, R8c) hamming distances to the flat inline neighbors of
+    expand_ids[b], R8c = rws*128/Wp >= R8 (tail slots garbage; callers
+    mask by degree)."""
+    B0, W = q_bits.shape
+    rws = inline.shape[1]
+    Wp = 1 << (W - 1).bit_length()
+    if Wp != W:
+        q_bits = jnp.pad(q_bits, ((0, 0), (0, Wp - W)))
+    qt = jnp.tile(q_bits, (1, rws * (128 // Wp)))  # (B, rws*128)
+
+    block_b = max(8, min(block_b, ((B0 + 7) // 8) * 8))
+    B = ((B0 + block_b - 1) // block_b) * block_b
+    if B != B0:
+        qt = jnp.pad(qt, ((0, B - B0), (0, 0)))
+        expand_ids = jnp.pad(expand_ids, (0, B - B0))
+    group = max(1, min(group, block_b))
+    while block_b % group:
+        group -= 1
+    n_buf = min(n_buf, block_b // group)
+    if jax.default_backend() != "tpu":
+        interpret = True
+
+    kernel = functools.partial(
+        _expand_bits_kernel, rws=rws, Wp=Wp, n_buf=n_buf, block_b=block_b,
+        group=group,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // block_b,),
+            in_specs=[
+                pl.BlockSpec((block_b, rws * 128), lambda i, ids: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((block_b, rws * 128),
+                                   lambda i, ids: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((n_buf, group, rws, 128), inline.dtype),
+                pltpu.SemaphoreType.DMA((n_buf, group)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, rws * 128), jnp.float32),
+        interpret=interpret,
+    )(expand_ids, qt, inline)
+    # lane r*Wp of each rws-row holds neighbor r's distance
+    return out.reshape(B, rws * 128 // Wp, Wp)[:B0, :, 0]
+
+
 def expand_distances_multi(
     inline: jax.Array,
     expand_ids: jax.Array,  # (B, E)

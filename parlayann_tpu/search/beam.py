@@ -232,23 +232,33 @@ def beam_search_batch(
         dist_cmps_new = dist_cmps + jnp.sum(cand_valid, axis=1).astype(jnp.int32)
 
         if have_inline:
-            # bits==1 runs the packed-word hamming variant of the same
-            # kernel (inline + queries are uint32 words); 2/4-bit tiers
-            # have no kernel path yet and use the XLA fallback
-            kbits = 1 if bits == 1 else 32
-            # the inline array may be R-padded to a sublane multiple
-            # (build_inline); slice the kernel output back to rwidth
+            # bits==1 runs the flat packed-word hamming kernel (the inline
+            # is (n, rws, 128) words — Mosaic rejects DMA slices narrower
+            # than the 128-lane tiling, see build_inline_bits_flat);
+            # 2/4-bit tiers have no kernel path yet and use the XLA
+            # fallback. The inline array may be R-padded to a sublane
+            # multiple; slice the kernel output back to rwidth.
+            if bits == 1:
+                from parlayann_tpu.ops.pallas.expand import expand_bits_flat
+
+                def dfn(ids, qs, width):
+                    return expand_bits_flat(
+                        inline, ids, qs, block_b=min(block_b, width),
+                        group=expand_group,
+                    )
+            else:
+                def dfn(ids, qs, width):
+                    return expand_distances(
+                        inline, ids, qs, metric=metric,
+                        block_b=min(block_b, width), group=expand_group,
+                    )
+
             if E == 1:
-                dmat = expand_distances(
-                    inline, exp_ids_c[:, 0], queries, metric=metric,
-                    block_b=min(block_b, B), group=expand_group, bits=kbits,
-                )[:, None, :]
+                dmat = dfn(exp_ids_c[:, 0], queries, B)[:, None, :]
             else:
                 qrep = jnp.repeat(queries, E, axis=0)
-                dmat = expand_distances(
-                    inline, exp_ids_c.reshape(B * E), qrep, metric=metric,
-                    block_b=min(block_b, B * E), group=expand_group, bits=kbits,
-                ).reshape(B, E, inline.shape[1])
+                dmat = dfn(exp_ids_c.reshape(B * E), qrep, B * E)
+                dmat = dmat.reshape(B, E, dmat.shape[1])
             cand_dists = dmat[:, :, :rwidth].reshape(B, K)
             cand_dists = jnp.where(cand_valid, cand_dists, INF)
         else:

@@ -61,6 +61,33 @@ def test_popcount_expand_matches_xla(rng):
         np.testing.assert_array_equal(np.asarray(dk), np.asarray(dref))
 
 
+def test_flat_bits_expand_matches_xla(rng):
+    """Flat packed-word kernel (128-lane rows, in-place group sums) == XLA
+    hamming for several word widths incl. the non-pow2 pad case (d=96 ->
+    W=3 -> Wp=4)."""
+    from parlayann_tpu.ops.pallas.expand import (
+        build_inline_bits_flat, expand_bits_flat,
+    )
+
+    for d in (64, 96, 128, 1024):
+        n, R, B = 256, 18, 48
+        X = rng.standard_normal((n, d)).astype(np.float32)
+        Q = rng.standard_normal((B, d)).astype(np.float32)
+        nbrs = jnp.asarray(rng.integers(0, n, (n, R)).astype(np.int32))
+        ps = PointSet.from_numpy(X)
+        bps = quantize.bit_quantize(ps)
+        qb = quantize.bit_translate_query(jnp.asarray(Q), bps)
+        inline = build_inline_bits_flat(bps.data, nbrs)
+        ids = jnp.asarray(rng.integers(0, n, (B,)).astype(np.int32))
+        for g in (1, 4):
+            dk = expand_bits_flat(inline, ids, qb, group=g)[:, :R]
+            cand = jnp.take(
+                bps.data, jnp.take(nbrs, ids, axis=0).reshape(-1), axis=0
+            ).reshape(B, R, -1)
+            dref = quantize.hamming_distance(qb, cand)
+            np.testing.assert_array_equal(np.asarray(dk), np.asarray(dref))
+
+
 def test_grouped_expand_matches_ungrouped(rng):
     """expand_group amortizes loop overhead only — identical distances."""
     n, d, R, B = 256, 32, 8, 64
