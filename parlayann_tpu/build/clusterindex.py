@@ -112,9 +112,13 @@ def _kmeans_jit(data_pad, init_cents, *, C, n, iters, metric, step):
     def one_iter(_, cents):
         def chunk_stats(carry, xc):
             blk, base = xc
+            # groupmin is EXACT at k=1 (the global min is some group's
+            # min) and the per-group reduction fuses into the matmul
+            # epilogue — the sort-based select materialized the
+            # (step, C) tile
             aid = flat_search_batch(
                 blk, cents, k=1, metric=metric, n_valid=C,
-                chunk=min(cents.shape[0], 32768), select="sort",
+                chunk=min(cents.shape[0], 32768), select="groupmin",
             )[0][:, 0]
             valid = (base + row0) < n
             oh = (

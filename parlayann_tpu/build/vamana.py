@@ -457,10 +457,17 @@ def build_vamana_graph(
                         R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
                     )
                 else:
+                    # PARLAYANN_BUILD_EXPAND (trace-time, A/B only):
+                    # vertices expanded per beam step. 2 is the shipped
+                    # default (halves the step count vs the reference's 1
+                    # at <0.3% recall cost, see vmax note above).
+                    import os as _os
+
                     out = _beam_phase(
                         nbrs, degs, points.data, batch_j, start,
                         R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
-                        expand=2,
+                        expand=int(_os.environ.get(
+                            "PARLAYANN_BUILD_EXPAND", "2")),
                     )
                 return out
 

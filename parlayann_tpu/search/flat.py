@@ -59,9 +59,19 @@ def _select_sort(d, ids, k):
     """Exact k smallest of (B, C) -> (B, k) via two-level lane sorts."""
     B, C = d.shape
     G = 128
-    if C % G or C <= G:
+    if C <= G:
         sd, si = jax.lax.sort((d, ids), dimension=1, num_keys=1)
         return sd[:, :k], si[:, :k]
+    if C % G:
+        # pad to a group multiple rather than full-width sorting: a
+        # single lax.sort over tens of thousands of lanes is the one
+        # pathologically-shaped op on TPU (at (2048, 19532) f32 it took
+        # the v5e worker down with a device fault)
+        pad = G - C % G
+        d = jnp.concatenate([d, jnp.full((B, pad), INF, d.dtype)], axis=1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((B, pad), -1, ids.dtype)], axis=1)
+        C += pad
     ng = C // G
     sd, si = jax.lax.sort(
         (d.reshape(B, ng, G), ids.reshape(B, ng, G)), dimension=2, num_keys=1
