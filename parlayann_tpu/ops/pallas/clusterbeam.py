@@ -54,6 +54,18 @@ _INF = float(INF)
 from parlayann_tpu.utils.arrays import pow2 as _pow2
 
 
+def _auto_block_cluster(block_b, G, m, M, Wc):
+    """Shrink block_b until phase B's intermediates fit the 16 MiB
+    scoped-VMEM stack. Usage scales with block_b x (pool width m*M +
+    merge width ~8*Wc); the budget is calibrated to the proven config
+    (block_b=512, m*M=256, Wc=16 compiles; Wc=64 at 512 measured 18.9M
+    > 16M on v5e). Stays a multiple of G."""
+    units = m * M + 8 * Wc
+    while block_b > G and block_b * units > 512 * (256 + 8 * 16):
+        block_b = max(G, (block_b // 2 // G) * G)
+    return block_b
+
+
 def _step_kernel(
     exp_ref,  # scalar prefetch: (B,) int32 cluster to expand (-1 = frozen)
     q_ref,  # (block_b, d) f32 (tier domain)
@@ -345,6 +357,7 @@ def cluster_step(
     if jax.default_backend() != "tpu":
         interpret = True
     block_b = max(G, (min(block_b, B) // G) * G)
+    block_b = _auto_block_cluster(block_b, G, m, M, Wc)
     n_buf = min(n_buf, block_b // G)
     kernel = functools.partial(
         _step_kernel, m=m, Rc=Rc, Rcp=Rcp, d=d, Wc=Wc, Lc=Lc, M=M, C=C,
@@ -458,6 +471,7 @@ def cluster_search_fused(
         q = q_full.astype(jnp.float32)
 
     block_b = max(G, min(block_b, ((B0 + G - 1) // G) * G))
+    block_b = _auto_block_cluster(block_b, G, m, M, Wc)
     B = ((B0 + block_b - 1) // block_b) * block_b
     if B != B0:
         q = jnp.pad(q, ((0, B - B0), (0, 0)))
