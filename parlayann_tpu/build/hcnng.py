@@ -50,8 +50,14 @@ def _leaf_candidate_edges(points_data, members, sizes, *, S: int, m: int,
     D = jnp.where(valid[:, None, :] & valid[:, :, None], D, INF)
     eye = col[None, :, None] == col[None, None, :]
     D = jnp.where(eye, INF, D)
-    negw, vloc = jax.lax.top_k(-D, m)  # (Lc, S, m)
-    w = -negw
+    # two-level group select, not lax.top_k: top_k over S=1000 lanes is
+    # a full-width sort (measured ~half the candidate phase)
+    from parlayann_tpu.search.flat import _select_sort
+
+    ids_row = jnp.broadcast_to(col[None, :], (Lc * S, S))
+    w, vloc = _select_sort(D.reshape(Lc * S, S), ids_row, m)
+    w = w.reshape(Lc, S, m)
+    vloc = vloc.reshape(Lc, S, m)
     u = jnp.broadcast_to(col[None, :, None], (Lc, S, m))
     w = w.reshape(Lc, S * m)
     u = u.reshape(Lc, S * m).astype(jnp.int32)

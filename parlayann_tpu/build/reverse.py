@@ -41,6 +41,41 @@ from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.build.prune import robust_prune_chunked, sort_dedup_candidates
 
 
+def scatter_rows(nbrs, degs, wt, new_ids, new_deg, sorted_targets=False):
+    """Write row ``new_ids[i]``/``new_deg[i]`` at vertex ``wt[i]``
+    (wt == n_pad rows are dropped; targets must be unique).
+
+    Default lowering is scatter-free: sort the (target, row) pairs once,
+    searchsorted every graph vertex into them, and rewrite the whole
+    (n_pad, R) array with a gather + select — a TPU row scatter
+    serializes (~1000x lane-op cost) while the rewrite is two sequential
+    HBM streams plus one gather. PARLAYANN_SCATTER=1 (trace-time)
+    restores the XLA scatter for A/B."""
+    import os
+
+    if os.environ.get("PARLAYANN_SCATTER", "0") == "1":
+        nbrs = nbrs.at[wt].set(new_ids, mode="drop")
+        degs = degs.at[wt].set(new_deg, mode="drop")
+        return nbrs, degs
+    n_pad = nbrs.shape[0]
+    m = wt.shape[0]
+    if sorted_targets:
+        st, sidx = wt, jnp.arange(m, dtype=jnp.int32)
+    else:
+        st, sidx = jax.lax.sort(
+            (wt, jnp.arange(m, dtype=jnp.int32)), num_keys=1
+        )
+    vtx = jnp.arange(n_pad, dtype=jnp.int32)
+    fpos = jnp.clip(
+        jnp.searchsorted(st, vtx, side="left").astype(jnp.int32), 0, m - 1
+    )
+    hit = jnp.take(st, fpos) == vtx
+    src = jnp.take(sidx, fpos)
+    nbrs = jnp.where(hit[:, None], jnp.take(new_ids, src, axis=0), nbrs)
+    degs = jnp.where(hit, jnp.take(new_deg, src), degs)
+    return nbrs, degs
+
+
 class ReverseStats(NamedTuple):
     n_groups: jax.Array  # unique targets touched
     n_overflow: jax.Array  # targets that needed robustPrune
@@ -132,8 +167,7 @@ def prepare_reverse_append(
     g_ok = (jcol < jnp.minimum(count, cap)[:, None]) & ((pos[:, None] + jcol) < M)
     app_ids, app_deg = _union_rows(old_row, old_ok, g_src, g_ok, n_valid, R)
     wt = jnp.where(is_app, s_tgt, n_pad)
-    nbrs = nbrs.at[wt].set(app_ids, mode="drop")
-    degs = degs.at[wt].set(app_deg, mode="drop")
+    nbrs, degs = scatter_rows(nbrs, degs, wt, app_ids, app_deg)
 
     ctx = ReverseCtx(perm, s_tgt, s_src, s_dist, count, n_overflow, n_large)
     stats = ReverseStats(
@@ -265,8 +299,7 @@ def prune_reverse_chunk(
         R=R, metric=metric, n_valid=n_valid, chunk=chunk,
     )
     wt = jnp.where(pmask, t, n_pad)
-    nbrs = nbrs.at[wt].set(pr.ids, mode="drop")
-    degs = degs.at[wt].set(pr.degree, mode="drop")
+    nbrs, degs = scatter_rows(nbrs, degs, wt, pr.ids, pr.degree)
     return nbrs, degs
 
 
@@ -403,8 +436,7 @@ def exchange_reverse_edges(
         out_ids = jnp.where(is_fb[:, None], fb_ids, app_ids)
         out_deg = jnp.where(is_fb, fb_deg, app_deg)
         wt = jnp.where(write, t, n_pad)
-        nbrs = nbrs.at[wt].set(out_ids, mode="drop")
-        degs = degs.at[wt].set(out_deg, mode="drop")
+        nbrs, degs = scatter_rows(nbrs, degs, wt, out_ids, out_deg)
         return (nbrs, degs), None
 
     (nbrs, degs), _ = jax.lax.scan(
@@ -434,7 +466,6 @@ def exchange_reverse_edges(
         R=R, metric=metric, n_valid=n_valid, chunk=min(chunk, prune_budget),
     )
     wt = jnp.where(pmask, t, n_pad)
-    nbrs = nbrs.at[wt].set(pr.ids, mode="drop")
-    degs = degs.at[wt].set(pr.degree, mode="drop")
+    nbrs, degs = scatter_rows(nbrs, degs, wt, pr.ids, pr.degree)
 
     return nbrs, degs, stats

@@ -104,8 +104,9 @@ def _fwd_phase_impl(
         R=R, metric=metric, n_valid=n_valid, chunk=chunk,
     )
     wt = jnp.where(batch_ids >= 0, batch_ids, n_pad)
-    nbrs = nbrs.at[wt].set(pr.ids, mode="drop")
-    degs = degs.at[wt].set(pr.degree, mode="drop")
+    from parlayann_tpu.build.reverse import scatter_rows
+
+    nbrs, degs = scatter_rows(nbrs, degs, wt, pr.ids, pr.degree)
     return nbrs, degs, pr.ids, pr.dists
 
 
