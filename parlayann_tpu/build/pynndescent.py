@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from parlayann_tpu.utils.arrays import segment_bounds
 from parlayann_tpu.types import BuildParams, Metric
 from parlayann_tpu.data.pointset import PointSet
 from parlayann_tpu.data.graph import GraphIndexData
@@ -94,7 +95,7 @@ def _reverse_capped(nbr_ids, key, *, K, metric, n_valid):
     rnd = jax.random.bits(key, dkey.shape, jnp.uint32).astype(jnp.int32)
     sdst, _, ssrc = jax.lax.sort((dkey, rnd, src), num_keys=2)
     pos = jnp.arange(sdst.shape[0], dtype=jnp.int32)
-    left = jnp.searchsorted(sdst, sdst, side="left").astype(jnp.int32)
+    left, _ = segment_bounds(sdst)
     rank = pos - left
     keep = (rank < K) & (sdst < n_pad)
     # row-scatter the first K of each group

@@ -6,7 +6,8 @@ within the degree bound) or robustPrune with the union.
 
 TPU redesign: the semisort becomes one batched sort of the edge list by
 (target, distance); group boundaries come from first-occurrence flags +
-``searchsorted`` counts. Per-target work is then edge-row-centric with
+cumulative-scan segment bounds (utils.arrays.segment_bounds — XLA's
+searchsorted costs log2(n) serial gather rounds, ~17 ms at 131K). Per-target work is then edge-row-centric with
 static shapes:
 
   * append path (old_deg + count <= R): sort-based set-union of the old row
@@ -39,21 +40,23 @@ from parlayann_tpu.types import Metric
 from parlayann_tpu.ops import distance
 from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.build.prune import robust_prune_chunked, sort_dedup_candidates
+from parlayann_tpu.utils.arrays import segment_bounds
 
 
 def scatter_rows(nbrs, degs, wt, new_ids, new_deg, sorted_targets=False):
     """Write row ``new_ids[i]``/``new_deg[i]`` at vertex ``wt[i]``
     (wt == n_pad rows are dropped; targets must be unique).
 
-    Default lowering is scatter-free: sort the (target, row) pairs once,
-    searchsorted every graph vertex into them, and rewrite the whole
-    (n_pad, R) array with a gather + select — a TPU row scatter
-    serializes (~1000x lane-op cost) while the rewrite is two sequential
-    HBM streams plus one gather. PARLAYANN_SCATTER=1 (trace-time)
-    restores the XLA scatter for A/B."""
+    Default lowering is the XLA row scatter: the A/B (diag_build_trace,
+    100K batch=4096) measured the scatter FASTER than the scatter-free
+    sort+searchsorted+full-rewrite alternative (rev 91->102ms, overflow
+    92->209ms with rewrites — per-chunk full-array rewrites dominate),
+    contrary to the elementwise-scatter folklore: XLA lowers unique
+    whole-row scatters to efficient dynamic row stores.
+    PARLAYANN_SCATTER=0 selects the rewrite lowering for future A/B."""
     import os
 
-    if os.environ.get("PARLAYANN_SCATTER", "0") == "1":
+    if os.environ.get("PARLAYANN_SCATTER", "1") == "1":
         nbrs = nbrs.at[wt].set(new_ids, mode="drop")
         degs = degs.at[wt].set(new_deg, mode="drop")
         return nbrs, degs
@@ -140,8 +143,7 @@ def prepare_reverse_append(
 
     pos = jnp.arange(M, dtype=jnp.int32)
     fo = jnp.concatenate([jnp.ones(1, bool), s_tgt[1:] != s_tgt[:-1]]) & s_valid
-    left = jnp.searchsorted(s_tgt, s_tgt, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(s_tgt, s_tgt, side="right").astype(jnp.int32)
+    left, right = segment_bounds(s_tgt)
     count = right - left  # true group size
     old_deg_all = jnp.take(degs, jnp.clip(s_tgt, 0, n_pad - 1), axis=0)
     total = old_deg_all + count
@@ -367,8 +369,7 @@ def exchange_reverse_edges(
 
     pos = jnp.arange(M, dtype=jnp.int32)
     fo = jnp.concatenate([jnp.ones(1, bool), s_tgt[1:] != s_tgt[:-1]]) & s_valid
-    left = jnp.searchsorted(s_tgt, s_tgt, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(s_tgt, s_tgt, side="right").astype(jnp.int32)
+    left, right = segment_bounds(s_tgt)
     count = right - left  # true group size
     old_deg_all = jnp.take(degs, jnp.clip(s_tgt, 0, n_pad - 1), axis=0)
     total = old_deg_all + count

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from parlayann_tpu.utils.arrays import segment_bounds
 from parlayann_tpu.types import BuildParams, Metric
 from parlayann_tpu.ops.distance import INF
 from parlayann_tpu.search.beam import _merge, _has_work
@@ -327,8 +328,7 @@ def _global_insert_step_body(
     s_valid = s_tgt < sent
     pos = jnp.arange(M, dtype=jnp.int32)
     fo = jnp.concatenate([jnp.ones(1, bool), s_tgt[1:] != s_tgt[:-1]]) & s_valid
-    left = jnp.searchsorted(s_tgt, s_tgt, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(s_tgt, s_tgt, side="right").astype(jnp.int32)
+    left, right = segment_bounds(s_tgt)
     count = right - left
     lid_t = jnp.clip(s_tgt - shard * nl, 0, nl - 1)
     old_deg_all = jnp.take(degs_l, lid_t, axis=0)
