@@ -500,7 +500,8 @@ class ClusterIndex:
 
     def search(self, queries, k: int = 10, *, n_probe: int = 8,
                min_probe: int = 3, cut: float = 1.35, starts: int = 2,
-               rerank_factor: int = 2, rerank: str = "auto"):
+               rerank_factor: int = 2, rerank: str = "auto",
+               seed_mode: str = "argmin", select_mode: str = "sort"):
         """-> (ids (B, k), dists (B, k), counters). ``n_probe`` bounds
         expansions per query (the visit limit); ``starts`` seeds the
         cluster beam with the exact top-S centroids (one MXU scan over
@@ -534,4 +535,5 @@ class ClusterIndex:
             n_points=self.points.n, k=k, n_probe=n_probe,
             min_probe=min_probe, cut=cut, S=starts, pool=pool,
             tier_bits=bits, rerank=rerank,
+            seed_mode=seed_mode, select_mode=select_mode,
         )

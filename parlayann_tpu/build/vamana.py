@@ -522,9 +522,12 @@ def build_vamana_graph(
     )
     _ = int(jnp.sum(degs))  # readback fence (relay block_until_ready is unreliable)
     dt = time.perf_counter() - t0
-    for v, c in stats_acc:
-        tot_vis += int(v)
-        tot_cmp += int(c)
+    # ONE stacked readback: per-scalar int() here cost ~26 ms of relay RTT
+    # each (~3.7 s/build at 100K — measured as the 10.7s-wall vs 7.0s-inner gap)
+    if stats_acc:
+        flat = np.asarray(jnp.stack([jnp.stack(vc) for vc in stats_acc]))
+        tot_vis = int(flat[:, 0].sum())
+        tot_cmp = int(flat[:, 1].sum())
     graph = GraphIndexData(neighbors=nbrs, degrees=degs, n=n, max_degree=R)
     stats = BuildStats(dt, t_beam, t_bidirect, t_prune, tot_vis, tot_cmp, tot_fb)
     if verbose:

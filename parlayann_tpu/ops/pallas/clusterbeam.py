@@ -408,7 +408,8 @@ def cluster_step(
     jax.jit,
     static_argnames=("metric", "C", "m", "Rc", "n_points", "k", "n_probe",
                      "cut", "S", "pool", "tier_bits", "Lc", "M", "block_b",
-                     "G", "n_buf", "rerank", "min_probe"),
+                     "G", "n_buf", "rerank", "min_probe", "seed_mode",
+                     "select_mode"),
 )
 def cluster_search_fused(
     q_full,  # (B, d) raw f32 queries
@@ -435,6 +436,8 @@ def cluster_search_fused(
     G: int = 16,
     n_buf: int = 8,
     rerank: str = "full",
+    seed_mode: str = "argmin",
+    select_mode: str = "sort",
 ):
     """Single-dispatch cluster search -> (ids (B,k), dists (B,k),
     (n_probes (B,), dist_cmps (B,))). Distances are full-precision with
@@ -476,17 +479,46 @@ def cluster_search_fused(
     if B != B0:
         q = jnp.pad(q, ((0, B - B0), (0, 0)))
 
-    # ---- seed: exact top-S centroids, streamed (flat_search_batch
-    # chunks over centroid rows with a running top-k, so the (B, C_pad)
-    # distance tile never materializes — at 10M points C is ~200K and
-    # the full tile would be ~8 GB). Returns true squared distances /
-    # neg-dots, the same domain the kernel's phase A computes. ----
-    from parlayann_tpu.search.flat import flat_search_batch
+    # ---- seed: exact top-S centroids, in the same distance domain the
+    # kernel's phase A computes (true squared distances / neg-dots) ----
+    Cp_rows = centroids_q.shape[0]
+    if seed_mode == "argmin" and S <= 4 and Cp_rows <= 16384:
+        # small C: one (B, C) MXU tile + S exact argmin passes. Pure
+        # reductions — the streamed top-k path's per-group lane SORTS were
+        # most of the search's fixed (probe-independent) cost at B=10K
+        # (A/B: argmin 1.60M vs stream 1.00M QPS, m=64 probes=4, 100K).
+        cf = centroids_q.astype(jnp.float32)
+        dot = jax.lax.dot_general(
+            q, cf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric is Metric.MIPS:
+            dall = -dot
+        else:
+            cn = jnp.sum(cf * cf, axis=1)
+            dall = cn[None, :] - 2.0 * dot
+        cid_lane = jnp.arange(Cp_rows, dtype=jnp.int32)[None, :]
+        dall = jnp.where(cid_lane < C, dall, _INF)
+        sd_l, sid_l = [], []
+        for _ in range(S):
+            am = jnp.argmin(dall, axis=1).astype(jnp.int32)[:, None]
+            sd_l.append(jnp.min(dall, axis=1, keepdims=True))
+            sid_l.append(am)
+            dall = jnp.where(cid_lane == am, _INF, dall)
+        sd = jnp.concatenate(sd_l, axis=1)  # (B, S) ascending
+        sids = jnp.concatenate(sid_l, axis=1)
+        if metric is not Metric.MIPS:
+            qn = jnp.sum(q * q, axis=1, keepdims=True)
+            sd = jnp.where(sd < _INF, jnp.maximum(sd + qn, 0.0), _INF)
+    else:
+        # big C (10M-scale: C ~ 200K): streamed top-k, the (B, C_pad)
+        # tile never materializes (would be ~8 GB)
+        from parlayann_tpu.search.flat import flat_search_batch
 
-    sids, sd = flat_search_batch(
-        q, centroids_q, k=S, metric=metric, n_valid=C,
-        chunk=min(centroids_q.shape[0], 8192), select="sort",
-    )  # (B, S) ascending
+        sids, sd = flat_search_batch(
+            q, centroids_q, k=S, metric=metric, n_valid=C,
+            chunk=min(centroids_q.shape[0], 8192), select="sort",
+        )  # (B, S) ascending
 
     lane = jnp.arange(Wc, dtype=jnp.int32)[None, :]
     cbd = jnp.concatenate([sd, jnp.full((B, Wc - S), _INF)], axis=1)
@@ -527,8 +559,19 @@ def cluster_search_fused(
         cond, body, (exp_ids, cbd, cbp, pd, pi, nv)
     )
 
-    # ---- pool -> rerank candidates (one lane sort) -> full precision ----
-    pd_s, pi_s = jax.lax.sort((pd, pi), num_keys=1)
+    # ---- pool -> rerank candidates -> full precision. Default is the
+    # full (B, m*M)-lane sort: A/B (scripts/diag_cluster_ab.py, m=64
+    # probes=4 at 100K) measured the grouped two-level select 3x SLOWER
+    # end-to-end (322K vs 1.60M QPS) despite touching fewer lanes — the
+    # per-group bitonic stages don't pay at m*M = 256 width. Kept as a
+    # knob for wide-pool configs. ----
+    if select_mode == "group":
+        from parlayann_tpu.search.flat import _select_sort
+
+        want = k if rerank == "tier" else pool
+        pd_s, pi_s = _select_sort(pd, pi, want)
+    else:
+        pd_s, pi_s = jax.lax.sort((pd, pi), num_keys=1)
     if rerank == "tier":
         ids = jnp.where(pd_s[:B0, :k] < _INF, pi_s[:B0, :k], -1)
         dists = pd_s[:B0, :k]

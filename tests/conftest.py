@@ -12,6 +12,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the full suite compiles hundreds of programs;
+# a cold XLA:CPU compile deep into the run has segfaulted before
+# (accumulated compiler state — test_quantized passes in isolation).
+# Caching makes reruns skip almost all compiles.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 
