@@ -66,9 +66,14 @@ def cluster_tree_labels(
         first = jnp.concatenate([jnp.ones(1, bool), slab[1:] != slab[:-1]])
         seg_start = jax.lax.cummax(jnp.where(first, pos, 0))
         rank = pos - seg_start
-        left = jnp.searchsorted(slab, slab, side="left").astype(jnp.int32)
-        right = jnp.searchsorted(slab, slab, side="right").astype(jnp.int32)
-        seg_size = right - left
+        # segment ends via one reverse cummin, not searchsorted: XLA
+        # lowers searchsorted to a log2(n)-step binary-search while loop
+        # of gather fusions (measured 316 of 347 ms/tree device time)
+        nxt_first = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+        right = jax.lax.cummin(
+            jnp.where(nxt_first, pos + 1, n_pad), reverse=True
+        )
+        seg_size = right - seg_start
 
         p1 = jnp.take(points_data, jnp.take(ids, seg_start), axis=0)
         p2_pos = jnp.minimum(seg_start + 1, n_pad - 1)

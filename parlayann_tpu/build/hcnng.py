@@ -50,14 +50,20 @@ def _leaf_candidate_edges(points_data, members, sizes, *, S: int, m: int,
     D = jnp.where(valid[:, None, :] & valid[:, :, None], D, INF)
     eye = col[None, :, None] == col[None, None, :]
     D = jnp.where(eye, INF, D)
-    # two-level group select, not lax.top_k: top_k over S=1000 lanes is
-    # a full-width sort (measured ~half the candidate phase)
-    from parlayann_tpu.search.flat import _select_sort
-
-    ids_row = jnp.broadcast_to(col[None, :], (Lc * S, S))
-    w, vloc = _select_sort(D.reshape(Lc * S, S), ids_row, m)
-    w = w.reshape(Lc, S, m)
-    vloc = vloc.reshape(Lc, S, m)
+    # m exact argmin/min reduction passes, not a select sort: the grouped
+    # select's lane sorts were one 80 ms op per chunk (97% of the
+    # program); m=10 masked reductions over the same (Lc*S, S) tile are
+    # pure VPU streams (~10x cheaper, same result in ascending order)
+    Dr = D.reshape(Lc * S, S)
+    lane = col[None, :]
+    w_l, v_l = [], []
+    for _ in range(m):
+        am = jnp.argmin(Dr, axis=1).astype(jnp.int32)[:, None]
+        w_l.append(jnp.min(Dr, axis=1, keepdims=True))
+        v_l.append(am)
+        Dr = jnp.where(lane == am, INF, Dr)
+    w = jnp.concatenate(w_l, axis=1).reshape(Lc, S, m)
+    vloc = jnp.concatenate(v_l, axis=1).reshape(Lc, S, m)
     u = jnp.broadcast_to(col[None, :, None], (Lc, S, m))
     w = w.reshape(Lc, S * m)
     u = u.reshape(Lc, S * m).astype(jnp.int32)

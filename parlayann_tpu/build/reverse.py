@@ -104,6 +104,7 @@ class ReverseCtx(NamedTuple):
     count: jax.Array  # (M,) group size at each sorted position
     n_overflow: jax.Array  # () int32 — total overflow targets
     n_large: jax.Array  # () int32 — overflow targets with count > small_cap
+    n_append: jax.Array  # () int32 — non-overflow targets (append rows)
 
 
 def prepare_reverse_append(
@@ -157,21 +158,55 @@ def prepare_reverse_append(
     _, perm = jax.lax.sort((prio, pos), num_keys=1, is_stable=True)
     n_overflow = jnp.sum(fo & overflow).astype(jnp.int32)
     n_large = jnp.sum(is_large).astype(jnp.int32)
+    n_append = jnp.sum(fo & ~overflow).astype(jnp.int32)
 
-    # ---- append pass: one vectorized shot over all M rows (no chunking
-    # needed — the only gather is the (M, R) int32 old rows) ----
-    is_app = fo & ~overflow
-    old_row = jnp.take(nbrs, jnp.clip(s_tgt, 0, n_pad - 1), axis=0)
-    old_ok = jnp.arange(R, dtype=jnp.int32)[None, :] < old_deg_all[:, None]
+    # ---- append pass: chunked over the compacted append rows (perm
+    # positions [n_overflow, n_overflow + n_append)), dead chunks skipped
+    # by lax.cond. The previous full-M-width union cost as much device
+    # time as the entire beam phase at wide batches (171 ms at B=16K,
+    # M=512K — only ~1/8 of M's rows are appends; the rest was waste) ----
+    perm_pad = jnp.concatenate([perm, jnp.zeros((M,), jnp.int32)])
     jcol = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    gidx = jnp.clip(pos[:, None] + jcol, 0, M - 1)
-    g_src = s_src[gidx]
-    g_ok = (jcol < jnp.minimum(count, cap)[:, None]) & ((pos[:, None] + jcol) < M)
-    app_ids, app_deg = _union_rows(old_row, old_ok, g_src, g_ok, n_valid, R)
-    wt = jnp.where(is_app, s_tgt, n_pad)
-    nbrs, degs = scatter_rows(nbrs, degs, wt, app_ids, app_deg)
+    app_chunk = min(32768, M)
+    n_app_chunks = -(-M // app_chunk)
 
-    ctx = ReverseCtx(perm, s_tgt, s_src, s_dist, count, n_overflow, n_large)
+    def append_chunk(nb, dg, off):
+        prows = jax.lax.dynamic_slice(perm_pad, (n_overflow + off,),
+                                      (app_chunk,))
+        pmask = (off + jnp.arange(app_chunk, dtype=jnp.int32)) < n_append
+        pr_safe = jnp.clip(prows, 0, M - 1)
+        t = jnp.where(pmask, s_tgt[pr_safe], n_pad)
+        t_safe = jnp.clip(t, 0, n_pad - 1)
+        old_row = jnp.take(nb, t_safe, axis=0)
+        odeg = jnp.take(dg, t_safe, axis=0)
+        old_ok = (jnp.arange(R, dtype=jnp.int32)[None, :] < odeg[:, None]) \
+            & pmask[:, None]
+        gidx = jnp.clip(prows[:, None] + jcol, 0, M - 1)
+        g_src = s_src[gidx]
+        g_ok = (jcol < jnp.minimum(count[pr_safe], cap)[:, None]) & (
+            (prows[:, None] + jcol) < M) & pmask[:, None]
+        app_ids, app_deg = _union_rows(old_row, old_ok, g_src, g_ok,
+                                       n_valid, R)
+        wt = jnp.where(pmask, t, n_pad)
+        return scatter_rows(nb, dg, wt, app_ids, app_deg)
+
+    # while_loop over LIVE chunks only: a lax.cond skip still copies the
+    # carried (n_pad, R) graph through the identity branch (~0.3 ms per
+    # dead chunk, measured) — a while_loop never runs the dead tail
+    del n_app_chunks
+
+    def append_body(st):
+        nb, dg, off = st
+        nb, dg = append_chunk(nb, dg, off)
+        return nb, dg, off + app_chunk
+
+    nbrs, degs, _ = jax.lax.while_loop(
+        lambda st: st[2] < n_append, append_body,
+        (nbrs, degs, jnp.zeros((), jnp.int32)),
+    )
+
+    ctx = ReverseCtx(perm, s_tgt, s_src, s_dist, count, n_overflow, n_large,
+                     n_append)
     stats = ReverseStats(
         n_groups=jnp.sum(fo),
         n_overflow=n_overflow,
@@ -218,31 +253,30 @@ def prune_reverse_all(
     n_chunks = -(-M // chunk)
     n_chunks_small = -(-M // chunk_small)
 
-    def one(carry, off, width, hi, prune_cap):
-        return jax.lax.cond(
-            off < hi,
-            lambda c, o: (
-                prune_reverse_chunk(
-                    c[0], c[1], ctx, o, points_data, alpha,
-                    R=R, metric=metric, n_valid=n_valid, chunk=width,
-                    cap=prune_cap, hi=hi,
-                ),
-                None,
-            ),
-            lambda c, o: (c, None),
-            carry, off,
-        )
+    # while_loops over LIVE chunks only (a lax.cond skip copies the
+    # carried (n_pad, R) graph through its identity branch — ~0.3 ms per
+    # dead chunk measured, and the static schedule had to assume the
+    # all-overflow worst case M)
+    del n_chunks, n_chunks_small
 
-    offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (nbrs, degs), _ = jax.lax.scan(
-        lambda c, o: one(c, o, chunk, ctx.n_large, cap),
-        (nbrs, degs), offs,
-    )
-    offs_s = ctx.n_large + jnp.arange(n_chunks_small, dtype=jnp.int32) * chunk_small
-    (nbrs, degs), _ = jax.lax.scan(
-        lambda c, o: one(c, o, chunk_small, ctx.n_overflow, small_cap),
-        (nbrs, degs), offs_s,
-    )
+    def run(nbrs, degs, lo, hi, width, prune_cap):
+        def body(st):
+            nb, dg, off = st
+            nb, dg = prune_reverse_chunk(
+                nb, dg, ctx, off, points_data, alpha,
+                R=R, metric=metric, n_valid=n_valid, chunk=width,
+                cap=prune_cap, hi=hi,
+            )
+            return nb, dg, off + width
+
+        nbrs, degs, _ = jax.lax.while_loop(
+            lambda st: st[2] < hi, body, (nbrs, degs, lo))
+        return nbrs, degs
+
+    nbrs, degs = run(nbrs, degs, jnp.zeros((), jnp.int32), ctx.n_large,
+                     chunk, cap)
+    nbrs, degs = run(nbrs, degs, ctx.n_large, ctx.n_overflow, chunk_small,
+                     small_cap)
     return nbrs, degs
 
 

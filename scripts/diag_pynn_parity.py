@@ -209,8 +209,16 @@ def main():
     max_rounds = max(10, int(np.ceil(np.log2(max(d, 2)))))
 
     # ---- pull-sampled descent (the repo's rounds) ----
+    # Two stop rules compared: the shipped ENTRY-count delta and the
+    # reference's VERTEX-count delta (pynn_index.h:182 counts vertices
+    # whose list changed). Entry-count >= vertex-count, so the entry rule
+    # runs more rounds and over-converges toward the pure kNN graph,
+    # evicting the mid-descent long-range edges that make the pruned
+    # graph navigable from random starts.
     ids_p, d_p = nbr_ids, nbr_dists
     key2 = jax.random.key(1)
+    vstop_ids = None
+    prev = np.asarray(ids_p)[:n]
     for r in range(max_rounds):
         key2, k1, k2 = jax.random.split(key2, 3)
         rev = P._reverse_capped(ids_p, k1, K=K, metric=ps.metric, n_valid=n)
@@ -218,10 +226,19 @@ def main():
             ps.data, ids_p, d_p, rev, k2, s1=s1, s2=s2, K=K,
             metric=ps.metric, n_valid=n)
         ch = int(changed)
-        print(f"  pull round {r}: changed {ch}", flush=True)
+        cur = np.asarray(ids_p)[:n]
+        vch = int((cur != prev).any(axis=1).sum())
+        prev = cur
+        print(f"  pull round {r}: changed entries {ch} vertices {vch}",
+              flush=True)
+        if vstop_ids is None and vch < delta * n:
+            vstop_ids = cur.copy()
+            print(f"  (vertex-delta stop at round {r})", flush=True)
         if ch < delta * n:
             break
     pull_ids = np.asarray(ids_p)[:n]
+    if vstop_ids is None:
+        vstop_ids = pull_ids
     rec_pull = knn_recall(pull_ids, gt)
 
     # ---- exact push-join oracle (reference semantics) ----
@@ -243,27 +260,35 @@ def main():
 
     gt_q_ids, gt_q_d = EX.compute_groundtruth(ps, Q, 10)
 
-    def finish_and_search(raw_ids):
+    def finish_and_search(raw_ids, extra_ids=None):
         ri = np.full((ps.n_pad, K), -1, np.int32)
         ri[:n] = raw_ids
         ii = jnp.asarray(ri)
-        safe = jnp.clip(ii, 0, ps.n_pad - 1)
         me = ps.data.astype(jnp.float32)
-        dd = distance.gathered(
-            me, jnp.take(ps.data, safe, axis=0).astype(jnp.float32),
-            ps.metric)
-        dd = jnp.where(ii >= 0, dd, P.INF)
+
+        def dists_of(idm):
+            safe = jnp.clip(idm, 0, ps.n_pad - 1)
+            dd = distance.gathered(
+                me, jnp.take(ps.data, safe, axis=0).astype(jnp.float32),
+                ps.metric)
+            return jnp.where(idm >= 0, dd, P.INF)
+
+        dd = dists_of(ii)
         k3 = jax.random.key(7)
         rev = P._reverse_capped(ii, k3, K=K, metric=ps.metric, n_valid=n)
-        rev_safe = jnp.clip(rev, 0, ps.n_pad - 1)
-        rev_d = distance.gathered(
-            me, jnp.take(ps.data, rev_safe, axis=0).astype(jnp.float32),
-            ps.metric)
-        rev_d = jnp.where(rev >= 0, rev_d, P.INF)
+        rev_d = dists_of(rev)
+        cand_i = [ii, rev]
+        cand_d = [dd, rev_d]
+        if extra_ids is not None:
+            ei = np.full((ps.n_pad, K), -1, np.int32)
+            ei[:n] = extra_ids
+            eij = jnp.asarray(ei)
+            cand_i.append(eij)
+            cand_d.append(dists_of(eij))
         pr = robust_prune_chunked(
             jnp.arange(ps.n_pad, dtype=jnp.int32),
-            jnp.concatenate([ii, rev], axis=1),
-            jnp.concatenate([dd, rev_d], axis=1),
+            jnp.concatenate(cand_i, axis=1),
+            jnp.concatenate(cand_d, axis=1),
             ps.data, 1.2, R=K, metric=ps.metric, n_valid=n)
         g = GraphIndexData(neighbors=pr.ids, degrees=pr.degree, n=n,
                            max_degree=K)
@@ -276,12 +301,19 @@ def main():
                                               gt_q_d, 10)))
         return rows
 
+    print(f"vertex-delta stop: knn-recall@10 = "
+          f"{knn_recall(vstop_ids, gt):.4f}", flush=True)
+    np.savez("/tmp/pynn_state.npz", X=X, Q=Q, gt=gt,
+             init_ids=init_ids, pull_ids=pull_ids, push_ids=push_ids,
+             vstop_ids=vstop_ids, pull_d=np.asarray(d_p)[:n])
     rp = finish_and_search(pull_ids)
+    rs = finish_and_search(vstop_ids)
     rr = finish_and_search(push_ids)
     print("\nend-to-end recall@10 (random_starts=1):")
-    for (b, a), (_, o) in zip(rp, rr):
-        print(f"  beam {b:3d}: pull = {a:.4f}   push(ref) = {o:.4f}   "
-              f"gap = {(o - a) * 100:.2f}pp", flush=True)
+    for (b, a), (_, s), (_, o) in zip(rp, rs, rr):
+        print(f"  beam {b:3d}: pull(entry-stop) = {a:.4f}   "
+              f"pull(vertex-stop) = {s:.4f}   push(ref) = {o:.4f}   "
+              f"gap(vstop-push) = {(s - o) * 100:.2f}pp", flush=True)
 
 
 if __name__ == "__main__":

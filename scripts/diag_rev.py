@@ -34,7 +34,8 @@ def main():
 
     n = int(os.environ.get("BENCH_N", 100_000))
     d = int(os.environ.get("BENCH_D", 128))
-    R, L, alpha, cap = 32, 64, 1.2, 0.04
+    R, L, alpha = 32, 64, 1.2
+    cap = float(os.environ.get("CAP", 0.04))
     print(f"devices: {jax.devices()}", flush=True)
     X, _ = synthetic.clustered(n, d, n_queries=0,
                                n_clusters=max(64, n // 100),
