@@ -69,9 +69,12 @@ def _leaf_candidate_edges(points_data, members, sizes, *, S: int, m: int,
     u = u.reshape(Lc, S * m).astype(jnp.int32)
     v = vloc.reshape(Lc, S * m).astype(jnp.int32)
     sw, su, sv = jax.lax.sort((w, u, v), num_keys=1, is_stable=True)
-    su = jnp.where(sw < INF, su, -1)
-    sv = jnp.where(sw < INF, sv, -1)
-    return su, sv
+    # pack (u, v) into one int32 word: HALVES the device->host readback,
+    # which (not device compute) bounds the candidate phase through the
+    # relay. -1 = invalid; host unpacks with shift/mask.
+    sp = 1 << (S - 1).bit_length()
+    assert sp * sp < 2**31, f"cluster_size {S} too large to pack"
+    return jnp.where(sw < INF, su * sp + sv, -1)
 
 
 def build_hcnng_graph(points: PointSet, bp: BuildParams, verbose: bool = False):
@@ -84,56 +87,65 @@ def build_hcnng_graph(points: PointSet, bp: BuildParams, verbose: bool = False):
     t0 = time.perf_counter()
 
     srcs, dsts = [], []
-    key = jax.random.key(bp.seed)
+    keys = jax.random.split(jax.random.key(bp.seed), bp.num_clusters)
+
+    # ---- phase A: ALL label trees enqueued back-to-back, ONE stacked
+    # readback. Per-tree fences paid the relay's flat RTT 2x per tree;
+    # enqueues are async so the trees pipeline on device. ----
+    lab = [
+        cluster_tree_labels(points.data, keys[t], metric=points.metric,
+                            cluster_size=S, n_valid=n)
+        for t in range(bp.num_clusters)
+    ]
+    lab_h = np.asarray(jnp.stack([jnp.stack(o) for o in lab]))  # (T,2,n_pad)
+    del lab
+
+    # ---- phase B: queue every tree's candidate chunks (packed (u,v)
+    # words), then drain: chunk i+1 computes on device while the host
+    # runs Kruskal on chunk i (np.asarray is the only fence) ----
+    sp = 1 << (S - 1).bit_length()
+    queued = []
     for t in range(bp.num_clusters):
-        key, sub = jax.random.split(key)
-        ids, labels = cluster_tree_labels(
-            points.data, sub, metric=points.metric, cluster_size=S,
-            n_valid=n,
-        )
-        members, sizes = leaf_members(np.asarray(ids), np.asarray(labels), S)
+        members, sizes = leaf_members(lab_h[t, 0], lab_h[t, 1], S)
         n_leaves = len(members)
         chunk = max(1, min(n_leaves, (1 << 25) // (S * S)))  # ~128MB tensors
-        # queue every chunk's device work first, read back second: the
-        # candidate tensors for chunk i+1 compute while the host runs
-        # Kruskal on chunk i (np.asarray is a fence; queuing first makes
-        # it a no-wait readback)
-        queued = []
+        parts = []
         for lo in range(0, n_leaves, chunk):
             mem = members[lo : lo + chunk]
             sz = sizes[lo : lo + chunk]
-            pad = 0
             if len(mem) < chunk:
                 pad = chunk - len(mem)
                 mem = np.concatenate([mem, np.full((pad, S), -1, np.int32)])
                 sz = np.concatenate([sz, np.zeros(pad, np.int32)])
-            su, sv = _leaf_candidate_edges(
+            parts.append(_leaf_candidate_edges(
                 points.data, jnp.asarray(mem), jnp.asarray(sz),
                 S=S, m=m, metric=points.metric,
-            )
-            queued.append((lo, pad, su, sv))
-        for lo, pad, su, sv in queued:
-            nl = su.shape[0] - pad
-            su = np.asarray(su)[:nl]
-            sv = np.asarray(sv)[:nl]
-            # sequential island: degree-bounded Kruskal per leaf (C++)
-            ou, ov, cnt = native.kruskal_leaves(
-                su, sv, sizes[lo : lo + nl], S, mst_deg
-            )
-            # flat-offset assembly — one mask + two fancy-index gathers per
-            # chunk instead of a Python loop over every leaf
-            cnt = np.asarray(cnt)
-            keep = np.arange(ou.shape[1])[None, :] < cnt[:, None]
-            gl = members[lo : lo + nl]  # (nl, S) global ids
-            rowi = np.broadcast_to(np.arange(nl)[:, None], ou.shape)[keep]
-            eu = gl[rowi, np.clip(ou, 0, S - 1)[keep]]
-            ev = gl[rowi, np.clip(ov, 0, S - 1)[keep]]
-            # both directions (hcnng_index.h:208-218)
-            srcs.append(np.concatenate([eu, ev]))
-            dsts.append(np.concatenate([ev, eu]))
+            ))
+        # one (sum_chunks, S*m) array per tree -> ONE readback per tree
+        # (per-chunk fences paid the relay RTT 6x per tree)
+        queued.append((members, sizes,
+                       parts[0] if len(parts) == 1
+                       else jnp.concatenate(parts, axis=0)))
         if verbose:
-            print(f"hcnng: tree {t+1}/{bp.num_clusters} ({n_leaves} leaves)",
-                  flush=True)
+            print(f"hcnng: tree {t+1}/{bp.num_clusters} queued "
+                  f"({n_leaves} leaves)", flush=True)
+    for members, sizes, suv in queued:
+        suv = np.asarray(suv)[: len(members)]
+        su = np.where(suv >= 0, suv >> int(np.log2(sp)), -1).astype(np.int32)
+        sv = np.where(suv >= 0, suv & (sp - 1), -1).astype(np.int32)
+        # sequential island: degree-bounded Kruskal per leaf (C++)
+        ou, ov, cnt = native.kruskal_leaves(su, sv, sizes, S, mst_deg)
+        # flat-offset assembly — one mask + two fancy-index gathers per
+        # tree instead of a Python loop over every leaf
+        cnt = np.asarray(cnt)
+        keep = np.arange(ou.shape[1])[None, :] < cnt[:, None]
+        rowi = np.broadcast_to(
+            np.arange(len(members))[:, None], ou.shape)[keep]
+        eu = members[rowi, np.clip(ou, 0, S - 1)[keep]]
+        ev = members[rowi, np.clip(ov, 0, S - 1)[keep]]
+        # both directions (hcnng_index.h:208-218)
+        srcs.append(np.concatenate([eu, ev]))
+        dsts.append(np.concatenate([ev, eu]))
 
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int32)
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int32)

@@ -66,11 +66,12 @@ def main():
                 mem = np.concatenate([mem, np.full((pad, S), -1, np.int32)])
                 sz = np.concatenate([sz, np.zeros(pad, np.int32)])
             tl = time.perf_counter()
-            su, sv = _leaf_candidate_edges(
+            suv = np.asarray(_leaf_candidate_edges(
                 ps.data, jnp.asarray(mem), jnp.asarray(sz),
-                S=S, m=m, metric=ps.metric)
-            su = np.asarray(su)
-            sv = np.asarray(sv)
+                S=S, m=m, metric=ps.metric))
+            sp = 1 << (S - 1).bit_length()
+            su = np.where(suv >= 0, suv >> int(np.log2(sp)), -1).astype(np.int32)
+            sv = np.where(suv >= 0, suv & (sp - 1), -1).astype(np.int32)
             t_cand += time.perf_counter() - tl
             nl = su.shape[0] - pad
             tl = time.perf_counter()

@@ -67,14 +67,14 @@ def main():
         mem = np.concatenate([mem, np.full((pad, S), -1, np.int32)])
         sz = np.concatenate([sz, np.zeros(pad, np.int32)])
     memj, szj = jnp.asarray(mem), jnp.asarray(sz)
-    su, sv = _leaf_candidate_edges(ps.data, memj, szj, S=S, m=m,
-                                   metric=ps.metric)
+    sv = _leaf_candidate_edges(ps.data, memj, szj, S=S, m=m,
+                               metric=ps.metric)
     jax.block_until_ready(sv)
     t0 = time.perf_counter()
     R = 8
     for _ in range(R):
-        su, sv = _leaf_candidate_edges(ps.data, memj, szj, S=S, m=m,
-                                       metric=ps.metric)
+        sv = _leaf_candidate_edges(ps.data, memj, szj, S=S, m=m,
+                                   metric=ps.metric)
     jax.block_until_ready(sv)
     print(f"candidates amortized: {(time.perf_counter()-t0)/R*1e3:.1f} "
           f"ms/chunk ({chunk} leaves)", flush=True)
@@ -82,8 +82,8 @@ def main():
     tdir = "/tmp/hcnng_cand_trace"
     os.makedirs(tdir, exist_ok=True)
     with jax.profiler.trace(tdir):
-        su, sv = _leaf_candidate_edges(ps.data, memj, szj, S=S, m=m,
-                                       metric=ps.metric)
+        sv = _leaf_candidate_edges(ps.data, memj, szj, S=S, m=m,
+                                   metric=ps.metric)
         jax.block_until_ready(sv)
     parse_trace(tdir, "one candidate chunk")
 
