@@ -106,6 +106,58 @@ def _reverse_capped(nbr_ids, key, *, K, metric, n_valid):
     return rev
 
 
+@partial(jax.jit, static_argnames=("K", "metric", "n_valid", "chunk"))
+def _descent_round_exact(points_data, nbr_ids, nbr_dists, rev, *, K,
+                         metric, n_valid, chunk: int = 4096):
+    """One EXACT 2-hop pull round: every vertex evaluates ALL J*J
+    neighbors-of-join candidates (J = K fwd + K rev), row-chunked to
+    bound the (chunk, J*J) distance block. A superset of the reference
+    push-join's per-round coverage (pynn_index.h:105-126 pairs within
+    the rev set + nbr x rev); used as the final polish round — the
+    sampled rounds converge the bulk, the exact round recovers the
+    borderline entries sampling misses (measured +2-3pp end-to-end
+    navigability on quasi-uniform data at equal K)."""
+    n_pad, _ = nbr_ids.shape
+    join = jnp.concatenate([nbr_ids, rev], axis=1)  # (n, J)
+    J = join.shape[1]
+    me = points_data.astype(jnp.float32)
+
+    def one(args):
+        rows, my_ids, my_d = args  # (chunk,), (chunk, K), (chunk, K)
+        j1 = jnp.take(join, jnp.clip(rows, 0, n_pad - 1), axis=0)
+        j2 = jnp.take(join, jnp.clip(j1, 0, n_pad - 1), axis=0)
+        cand = jnp.where((j1 >= 0)[:, :, None], j2, -1).reshape(
+            rows.shape[0], J * J)
+        vecs = jnp.take(points_data,
+                        jnp.clip(cand, 0, points_data.shape[0] - 1), axis=0)
+        mine = jnp.take(me, jnp.clip(rows, 0, n_pad - 1), axis=0)
+        d = distance.gathered(mine, vecs.astype(jnp.float32), metric)
+        bad = (cand < 0) | (cand >= n_valid) | (cand == rows[:, None])
+        d = jnp.where(bad, INF, d)
+        return _merge_rows(my_ids, my_d, cand, d, K, n_valid)
+
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    nch = -(-n_pad // chunk)
+    pad = nch * chunk - n_pad
+    if pad:
+        rows = jnp.concatenate([rows, jnp.full(pad, -1, jnp.int32)])
+        nbr_ids_p = jnp.concatenate(
+            [nbr_ids, jnp.full((pad, K), -1, jnp.int32)])
+        nbr_dists_p = jnp.concatenate(
+            [nbr_dists, jnp.full((pad, K), INF, jnp.float32)])
+    else:
+        nbr_ids_p, nbr_dists_p = nbr_ids, nbr_dists
+    new_i, new_d = jax.lax.map(
+        one,
+        (rows.reshape(nch, chunk), nbr_ids_p.reshape(nch, chunk, K),
+         nbr_dists_p.reshape(nch, chunk, K)),
+    )
+    new_i = new_i.reshape(-1, K)[:n_pad]
+    new_d = new_d.reshape(-1, K)[:n_pad]
+    changed = jnp.sum((new_i != nbr_ids) & (new_i >= 0))
+    return new_i, new_d, changed
+
+
 @partial(jax.jit, static_argnames=("s1", "s2", "K", "metric", "n_valid"))
 def _descent_round(points_data, nbr_ids, nbr_dists, rev, key, *, s1, s2, K,
                    metric, n_valid):
@@ -136,8 +188,16 @@ def _descent_round(points_data, nbr_ids, nbr_dists, rev, key, *, s1, s2, K,
 
 
 def build_pynndescent_graph(points: PointSet, bp: BuildParams,
-                            verbose: bool = False):
-    """Build the pyNNDescent graph. Returns (GraphIndexData, seconds)."""
+                            verbose: bool = False, polish: bool = True):
+    """Build the pyNNDescent graph. Returns (GraphIndexData, seconds).
+
+    ``polish``: one exact 2-hop round after the sampled rounds converge.
+    Parity study (scripts/diag_pynn_parity.py, BENCHES.md): the sampled
+    pull rounds match the reference push-join on kNN quality (.9996 vs
+    .9929 knn-recall@10) but miss ~0.3 borderline entries/row that the
+    exhaustive join finds, costing 5-7pp end-to-end recall on
+    quasi-uniform data; the exact round recovers it to within ~1.5pp at
+    the beam 20-40 operating points."""
     n, n_pad = points.n, points.n_pad
     K = bp.R
     S = bp.cluster_size
@@ -186,6 +246,17 @@ def build_pynndescent_graph(points: PointSet, bp: BuildParams,
             print(f"pynn round {r}: changed {ch}", flush=True)
         if ch < delta * n:
             break
+
+    # --- exact 2-hop polish round (see build_pynndescent_graph doc) ---
+    if polish:
+        key, kp = jax.random.split(key)
+        rev = _reverse_capped(nbr_ids, kp, K=K, metric=points.metric,
+                              n_valid=n)
+        nbr_ids, nbr_dists, chp = _descent_round_exact(
+            points.data, nbr_ids, nbr_dists, rev,
+            K=K, metric=points.metric, n_valid=n)
+        if verbose:
+            print(f"pynn exact polish: changed {int(chp)}", flush=True)
 
     # --- undirect + alpha prune (pynn_index.h:198-239) ---
     key, k3 = jax.random.split(key)

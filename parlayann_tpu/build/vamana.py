@@ -408,6 +408,13 @@ def build_vamana_graph(
     # 2-wide expansion costs <0.3% recall and makes the fixed-trip scan 3.5x
     # shorter (measured on synthetic 4K/32d)
     vmax = max((3 * L) // 2, R + 16)
+    # PARLAYANN_BUILD_VMAX (trace-time, A/B only): the beam phase is
+    # gather-bound (~vmax*R point rows per insert at XLA's ~35 GB/s
+    # gather rate), so the visit budget is the build's main byte knob
+    import os as _os
+
+    if _os.environ.get("PARLAYANN_BUILD_VMAX"):
+        vmax = max(int(_os.environ["PARLAYANN_BUILD_VMAX"]), R + 16)
     # graph padding aligned with the point padding
     nbrs = jnp.zeros((points.n_pad, R), jnp.int32)
     degs = jnp.zeros((points.n_pad,), jnp.int32)

@@ -482,7 +482,7 @@ def cluster_search_fused(
     # ---- seed: exact top-S centroids, in the same distance domain the
     # kernel's phase A computes (true squared distances / neg-dots) ----
     Cp_rows = centroids_q.shape[0]
-    if seed_mode == "argmin" and S <= 4 and Cp_rows <= 16384:
+    if seed_mode == "argmin" and S <= 4 and Cp_rows <= 32768:
         # small C: one (B, C) MXU tile + S exact argmin passes. Pure
         # reductions — the streamed top-k path's per-group lane SORTS were
         # most of the search's fixed (probe-independent) cost at B=10K

@@ -58,11 +58,16 @@ def main():
         "VARIANTS", "0.04:2,0.08:2,0.12:2,0.08:4")
     Qd = jnp.asarray(Q)
     for item in spec.split(","):
-        cap_s, exp_s = item.split(":")
+        parts = item.split(":")
+        cap_s, exp_s = parts[0], parts[1]
         cap, expv = float(cap_s), int(exp_s)
         bp = BuildParams(R=32, L=64, alpha=1.2, num_passes=2,
                          batch_cap_frac=cap)
         os.environ["PARLAYANN_BUILD_EXPAND"] = str(expv)
+        if len(parts) > 2:
+            os.environ["PARLAYANN_BUILD_VMAX"] = parts[2]
+        else:
+            os.environ.pop("PARLAYANN_BUILD_VMAX", None)
         t0 = time.perf_counter()
         graph, stats = V.build_vamana_graph(build_ps, bp)
         cold = time.perf_counter() - t0
@@ -81,8 +86,10 @@ def main():
             dt = min(dt, dt_i)
             rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, k)
             row.append(f"Q={beam}: {rec:.4f}@{nq/dt:,.0f}")
-        print(f"cap={cap} expand={expv}: cold={cold:.1f}s steady={steady:.2f}s "
-              f"deg={avg:.2f}  " + "  ".join(row), flush=True)
+        vm = os.environ.get("PARLAYANN_BUILD_VMAX", "default")
+        print(f"cap={cap} expand={expv} vmax={vm}: cold={cold:.1f}s "
+              f"steady={steady:.2f}s deg={avg:.2f}  " + "  ".join(row),
+              flush=True)
 
 
 if __name__ == "__main__":
