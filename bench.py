@@ -153,11 +153,12 @@ def main():
     if tier == "q8":
         from parlayann_tpu.ops import quantize
         build_ps = quantize.quantize_pointset(ps, bits=8)
-    # batch_cap_frac 0.04 vs the reference's 0.02 (index.h:206): measured
-    # same recall (.9639 vs .9562 @ Q=40) and 1.3x faster build on TPU —
-    # fewer, wider dispatches amortize fixed per-batch costs
+    # batch_cap_frac 0.16 vs the reference's 0.02 (index.h:206): measured
+    # same recall at every step of the 0.02->0.32 ladder (diag_build_ab)
+    # and monotonically faster builds — wider batches amortize fixed
+    # per-batch costs and prune each overflow target once per batch
     bp = BuildParams(R=32, L=64, alpha=1.2, num_passes=2,
-                     batch_cap_frac=0.04)
+                     batch_cap_frac=0.16)
     # BENCH_PROFILE=1 opts into the split-dispatch phase timers; measured
     # cost through the relay is ~0.5s/batch of pure fence latency (154s vs
     # ~20s fused on 100K), so the headline build time uses the fused path
@@ -248,7 +249,7 @@ def main():
     r64 = {}
     if os.environ.get("BENCH_R64", "1") == "1":
         bp64 = BuildParams(R=64, L=128, alpha=1.15, num_passes=2,
-                           batch_cap_frac=0.04)
+                           batch_cap_frac=0.16)
         t0 = time.perf_counter()
         graph64, _ = build_vamana_graph(build_ps, bp64, verbose=False)
         r64_build = time.perf_counter() - t0

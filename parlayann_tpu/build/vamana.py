@@ -404,10 +404,12 @@ def build_vamana_graph(
     n = points.n
     R, L = bp.R, bp.L
     # visit budget for the insertion search: the reference leaves it
-    # unbounded (limit=n) but measured visited counts sit near L; 1.5*L with
-    # 2-wide expansion costs <0.3% recall and makes the fixed-trip scan 3.5x
-    # shorter (measured on synthetic 4K/32d)
-    vmax = max((3 * L) // 2, R + 16)
+    # unbounded (limit=n) but measured visited counts sit near L. The beam
+    # phase is gather-bound (vmax*R point rows per insert), so the visit
+    # budget is the build's main byte knob: vmax=L vs 1.5L measured
+    # IDENTICAL search recall (.9523 @ Q=10, synth100k R=32 A/B,
+    # diag_build_ab 2026-08-19) and 23% less build time (3.80 -> 2.93 s)
+    vmax = max(L, R + 16)
     # PARLAYANN_BUILD_VMAX (trace-time, A/B only): the beam phase is
     # gather-bound (~vmax*R point rows per insert at XLA's ~35 GB/s
     # gather rate), so the visit budget is the build's main byte knob
