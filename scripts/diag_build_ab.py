@@ -58,13 +58,16 @@ def main():
         "VARIANTS", "0.04:2,0.08:2,0.12:2,0.08:4")
     Qd = jnp.asarray(Q)
     for item in spec.split(","):
+        # cap:expand[:vmax[:passes[:L]]] — vmax "0"/"" = default
         parts = item.split(":")
         cap_s, exp_s = parts[0], parts[1]
         cap, expv = float(cap_s), int(exp_s)
-        bp = BuildParams(R=32, L=64, alpha=1.2, num_passes=2,
+        passes = int(parts[3]) if len(parts) > 3 else 2
+        L = int(parts[4]) if len(parts) > 4 else 64
+        bp = BuildParams(R=32, L=L, alpha=1.2, num_passes=passes,
                          batch_cap_frac=cap)
         os.environ["PARLAYANN_BUILD_EXPAND"] = str(expv)
-        if len(parts) > 2:
+        if len(parts) > 2 and parts[2] not in ("", "0"):
             os.environ["PARLAYANN_BUILD_VMAX"] = parts[2]
         else:
             os.environ.pop("PARLAYANN_BUILD_VMAX", None)
@@ -87,9 +90,9 @@ def main():
             rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, k)
             row.append(f"Q={beam}: {rec:.4f}@{nq/dt:,.0f}")
         vm = os.environ.get("PARLAYANN_BUILD_VMAX", "default")
-        print(f"cap={cap} expand={expv} vmax={vm}: cold={cold:.1f}s "
-              f"steady={steady:.2f}s deg={avg:.2f}  " + "  ".join(row),
-              flush=True)
+        print(f"cap={cap} expand={expv} vmax={vm} passes={passes} L={L}: "
+              f"cold={cold:.1f}s steady={steady:.2f}s deg={avg:.2f}  "
+              + "  ".join(row), flush=True)
 
 
 if __name__ == "__main__":
