@@ -25,9 +25,14 @@ def log(*a):
 
 
 def _cluster_section(ps, Q, gt_ids, gt_dists, k, nq, rounds, log):
-    """ClusterIndex build + probe sweep -> (extras dict, best, m).
-    Falls back from f32 to int8 ext if the f32 kernel path fails on the
-    target (the f32 decode is newer Mosaic surface)."""
+    """ClusterIndex builds (one per slack) + probe sweeps -> (extras
+    dict, best, m). Two slacks cover the two operating regimes measured
+    on v5e (BENCHES round 3): 1.5 wins the ≥.95 headline (.9655 @ 1.82M
+    QPS at 3 probes), 2.0 wins the high-recall band (.9953 @ 1.03M at 8
+    probes — displacement rate sets the coverage ceiling, see
+    ClusterIndex.build). Falls back from f32 to int8 ext if the f32
+    kernel path fails on the target (the f32 decode is newer Mosaic
+    surface)."""
     import jax as _jax
 
     from parlayann_tpu.build.clusterindex import ClusterIndex
@@ -39,65 +44,74 @@ def _cluster_section(ps, Q, gt_ids, gt_dists, k, nq, rounds, log):
     cb_m = min(int(os.environ.get("CB_M", 64)), ps.d // 8 * 8)
     cb_rc = min(16, ps.d // 8 * 8)
     cb_dt = os.environ.get("CB_DTYPE", "auto")
+    slacks = [float(s) for s in
+              os.environ.get("CB_SLACKS", "1.5,2.0").split(",")]
     Qd = _jax.device_put(np.asarray(Q))
     Qd.block_until_ready()
 
-    def run(dtype):
+    def run(dtype, slack):
         t0 = time.perf_counter()
-        ci = ClusterIndex.build(ps, m=cb_m, Rc=cb_rc, ext_dtype=dtype)
+        ci = ClusterIndex.build(ps, m=cb_m, Rc=cb_rc, ext_dtype=dtype,
+                                slack=slack)
         ci_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
-        ci = ClusterIndex.build(ps, m=cb_m, Rc=cb_rc, ext_dtype=dtype)
+        ci = ClusterIndex.build(ps, m=cb_m, Rc=cb_rc, ext_dtype=dtype,
+                                slack=slack)
         ci_build = time.perf_counter() - t0
-        log(f"cluster build: cold {ci_cold:.2f}s steady {ci_build:.2f}s "
-            f"C={ci.C} ext={ci.ext_dtype}")
+        log(f"cluster build: slack={slack} cold {ci_cold:.2f}s "
+            f"steady {ci_build:.2f}s C={ci.C} ext={ci.ext_dtype}")
         # smoke the search path once before committing to the sweep
         _ = np.asarray(ci.search(Qd[:16], k=k, n_probe=4, cut=0.0)[0])
         return ci, ci_build
 
-    try:
-        ci, ci_build = run(cb_dt)
-    except Exception as e:
-        if cb_dt != "int8":
-            log(f"cluster ext={cb_dt} failed ({type(e).__name__}: {e}); "
-                "retrying int8")
-            ci, ci_build = run("int8")
-        else:
-            raise
-    crows = []
     cbest = (0, 0.0, 0.0)
-    # fixed probe budgets + adaptive early-stop configs (min_probe
-    # floor + centroid cut; frozen rows skip their DMA entirely)
-    cfgs = [(12, 2, 1.35), (16, 3, 1.35)]
-    cfgs += [(npr, 0, 0.0) for npr in (4, 6, 8, 12, 16, 24)]
-    for npr, mnp, ccut in cfgs:
-        dt = float("inf")
-        out_ = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _r in range(rounds):
-                out_ = ci.search(Qd, k=k, n_probe=npr,
-                                 min_probe=mnp, cut=ccut)
-            _ = np.asarray(out_[0][:1])
-            dt = min(dt, (time.perf_counter() - t0) / rounds)
-        rec = compute_recall(np.asarray(out_[0]), gt_ids, gt_dists, k)
-        qps = nq / dt
-        tag = f"probes={npr:3d}" if not mnp else \
-            f"adapt min={mnp} cut={ccut} cap={npr}"
-        crows.append((f"{npr}/{mnp}/{ccut}", rec, qps))
-        log(f"  [cluster] {tag} recall={rec:.4f} QPS={qps:,.0f}")
-        if rec >= 0.95 and qps > cbest[2]:
-            cbest = (f"{npr}/{mnp}/{ccut}", rec, qps)
-        if not mnp and rec > 0.995:
-            break
-    cluster = {
-        "ext_dtype": ci.ext_dtype,
-        "build_time_s": round(ci_build, 2),
-        "n_probe": cbest[0], "recall": round(cbest[1], 4),
-        "qps": round(cbest[2], 1),
-        "sweep": [(p, round(r, 4), round(q, 1)) for p, r, q in crows],
-    }
-    return cluster, cbest, ci.m
+    cluster = {"configs": []}
+    for slack in slacks:
+        try:
+            ci, ci_build = run(cb_dt, slack)
+        except Exception as e:
+            if cb_dt != "int8":
+                log(f"cluster ext={cb_dt} failed ({type(e).__name__}: "
+                    f"{e}); retrying int8")
+                ci, ci_build = run("int8", slack)
+            else:
+                raise
+        crows = []
+        # fixed probe budgets + adaptive early-stop configs (min_probe
+        # floor + centroid cut; frozen rows skip their DMA entirely)
+        cfgs = [(12, 2, 1.35)]
+        cfgs += [(npr, 0, 0.0) for npr in (3, 4, 6, 8, 12, 16)]
+        for npr, mnp, ccut in cfgs:
+            dt = float("inf")
+            out_ = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _r in range(rounds):
+                    out_ = ci.search(Qd, k=k, n_probe=npr,
+                                     min_probe=mnp, cut=ccut)
+                _ = np.asarray(out_[0][:1])
+                dt = min(dt, (time.perf_counter() - t0) / rounds)
+            rec = compute_recall(np.asarray(out_[0]), gt_ids, gt_dists, k)
+            qps = nq / dt
+            tag = f"probes={npr:3d}" if not mnp else \
+                f"adapt min={mnp} cut={ccut} cap={npr}"
+            crows.append((f"{npr}/{mnp}/{ccut}", rec, qps))
+            log(f"  [cluster s={slack}] {tag} recall={rec:.4f} "
+                f"QPS={qps:,.0f}")
+            if rec >= 0.95 and qps > cbest[2]:
+                cbest = (f"s{slack}/{npr}/{mnp}/{ccut}", rec, qps)
+            if not mnp and rec > 0.995:
+                break
+        cluster["configs"].append({
+            "slack": slack, "C": ci.C,
+            "ext_dtype": ci.ext_dtype,
+            "build_time_s": round(ci_build, 2),
+            "sweep": [(p, round(r, 4), round(q, 1)) for p, r, q in crows],
+        })
+    cluster["n_probe"] = cbest[0]
+    cluster["recall"] = round(cbest[1], 4)
+    cluster["qps"] = round(cbest[2], 1)
+    return cluster, cbest, cb_m
 
 
 def main():

@@ -368,14 +368,21 @@ class ClusterIndex:
 
     @staticmethod
     def build(points: PointSet, *, m: int = 64, Rc: int = 16,
-              iters: int = 6, cand: int = 8, slack: float = 1.25,
+              iters: int = 6, cand: int = 8, slack: float = 1.5,
               seed: int = 0, ext_dtype: str = "auto",
               verbose: bool = False) -> "ClusterIndex":
         """``slack``: cluster-count overprovision. With C = n/m exactly,
         the capacity balancer is forced to fill every cluster and dumps
         boundary points into arbitrary far clusters — measured to cost
         ~7pp of recall ceiling at 20K (true-NN cluster rank p99 went
-        145 -> single digits with 25% slack).
+        145 -> single digits with 25% slack). Displacement RATE is the
+        recall ceiling past that (synth100k m=64, diag_cluster_sweep_cov
+        + TPU A/B 2026-08-19): slack 1.25 displaces 22.6% of points and
+        caps coverage at .9678 by 8 probes; 1.5 displaces 16% (.9871);
+        2.0 displaces 9.4% (.9972 — at ~2x ext HBM and C scan width).
+        1.5 is the default (best ≥.95 headline: .9655 @ 1.82M QPS at 3
+        probes); pass 2.0 for the high-recall regime (.9953 @ 1.03M at
+        8 probes, both measured on v5e synth100k).
 
         ``ext_dtype``: "f32" packs full-precision member vectors with
         ids as exact f32 lanes — DMA rows are priced per descriptor, so

@@ -193,7 +193,8 @@ def build_sharded_cluster(
     Rc: int = 16,
     iters: int = 6,
     cand: int = 8,
-    slack: float = 1.25,
+    slack: float = 1.5,  # displacement rate sets the recall ceiling —
+    # same default + rationale as ClusterIndex.build
     seed: int = 0,
 ) -> ShardedClusterIndex:
     """Distributed ClusterIndex build: the O(n) phases (Lloyd k-means +
