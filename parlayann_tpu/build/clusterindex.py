@@ -84,13 +84,33 @@ def _assign_all_jit(data_pad, cents, *, C, k, metric, n, step):
     return jax.lax.map(one, data_pad.reshape(nc, step, -1))
 
 
+@partial(jax.jit, static_argnames=("n", "n_pad"))
+def _slice_pad_jit(data, *, n, n_pad):
+    # fused under jit: ONE output buffer (eager slice-then-pad holds two
+    # transient full copies — 9.6 GiB at 10M)
+    return jnp.pad(data[:n], ((0, n_pad - n), (0, 0)))
+
+
+def _pad_rows(data_f32, n: int, n_pad: int) -> jax.Array:
+    """Slice/pad ``data_f32`` to exactly ``n_pad`` rows WITHOUT copying
+    when the shape already matches — at 10M points every full copy is
+    4.8 GiB of HBM, and the round-2 one-copy-per-callee discipline
+    (build copy + kmeans pad + assign pad all live at once) crashed the
+    worker at that scale. Rows >= n are masked/discarded by callers."""
+    data_f32 = jnp.asarray(data_f32)
+    rows = data_f32.shape[0]
+    if rows == n_pad:
+        return data_f32
+    if rows > n_pad:
+        return data_f32[:n_pad]
+    return _slice_pad_jit(data_f32, n=n, n_pad=n_pad)
+
+
 def _assign_all(data_f32, n, cents, C, k, metric, step=0):
     """Nearest-k centroids per point -> (ids (n, k), dists (n, k)) numpy."""
     step = step or _kmeans_chunk_for(cents.shape[0])
     n_pad = -(-n // step) * step
-    data_pad = data_f32[:n]
-    if n_pad != n:
-        data_pad = jnp.pad(data_pad, ((0, n_pad - n), (0, 0)))
+    data_pad = _pad_rows(data_f32, n, n_pad)
     ids, ds = _assign_all_jit(
         data_pad, cents, C=C, k=k, metric=metric, n=n, step=step,
     )
@@ -152,9 +172,7 @@ def kmeans(data_f32, n: int, C: int, *, metric: Metric, iters: int = 6,
     ).astype(jnp.float32)
     step = step or _kmeans_chunk_for(C)
     n_pad = -(-n // step) * step
-    data_pad = data_f32[:n]
-    if n_pad != n:
-        data_pad = jnp.pad(data_pad, ((0, n_pad - n), (0, 0)))
+    data_pad = _pad_rows(data_f32, n, n_pad)
     return _kmeans_jit(
         data_pad, cents, C=C, n=n, iters=iters, metric=metric, step=step,
     )
@@ -392,16 +410,29 @@ class ClusterIndex:
         rerank). "auto" = f32 when the f32 ext fits ~6 GiB, else int8."""
         n, d = points.n, points.d
         C = max(8, int(-(-n * slack // m)))
-        data = points.data[:n].astype(jnp.float32)
+        # ONE padded f32 working copy shared by kmeans/assign/recenter
+        # (each callee padding its own copy put 3x 4.8 GiB of data in
+        # HBM at 10M and crashed the worker); f32 input of the right
+        # shape is used as-is
+        step = _kmeans_chunk_for(C)
+        data = _pad_rows(
+            points.data if points.data.dtype == jnp.float32
+            else points.data[:n].astype(jnp.float32),
+            n, -(-n // step) * step,
+        )
         # the PARTITION is always L2 (clustering by inner product is
         # degenerate — every point gravitates to the largest-norm
         # centroid; standard IVF-MIPS practice is L2 cells scored by the
         # true metric at query time, which ClusterIndex.search does)
         cmetric = Metric.L2
-        cents = kmeans(data, n, C, metric=cmetric, iters=iters, seed=seed)
-        nbr_ids, nbr_d = _assign_all(data, n, cents, C, cand, cmetric)
+        cents = kmeans(data, n, C, metric=cmetric, iters=iters, seed=seed,
+                       step=step)
+        nbr_ids, nbr_d = _assign_all(data, n, cents, C, cand, cmetric,
+                                     step=step)
         members = balance_assign(nbr_ids, nbr_d, C, m)
+        del nbr_ids, nbr_d
         cents = _recenter(data, members, C)
+        del data  # free the padded copy before the ext-row packing
         aid, _ = _assign_all(np.asarray(cents), C, cents, C, Rc + 1,
                              cmetric, step=8192)
         # drop self from the adjacency (it is always the nearest)

@@ -41,6 +41,11 @@ from parlayann_tpu.build.reverse import (
     prune_reverse_chunk,
     prune_reverse_all,
 )
+from parlayann_tpu.ops.pallas.expand import build_inline
+
+# per-steady-batch inline rebuild (see build_vamana_graph): one chunked
+# full-graph gather compiled once per (n_pad, R) shape
+_build_inline_jit = jax.jit(build_inline)
 
 
 class BuildStats(NamedTuple):
@@ -54,22 +59,32 @@ class BuildStats(NamedTuple):
 
 
 def _beam_phase_impl(
-    nbrs, degs, points_data, batch_ids, start,
-    *, R, L, vmax, metric, n_valid, expand,
+    nbrs, degs, points_data, batch_ids, start, inline=None,
+    *, R, L, vmax, metric, n_valid, expand, expand_group=4,
 ):
     """Read phase: beam search from the start point, k=0 (no cut), recording
     the expanded/visited list as prune candidates (index.h:251-262).
     Candidates = visited ∪ current out-edges (add=true, index.h:70-76 —
-    rows are non-empty on passes >= 2)."""
+    rows are non-empty on passes >= 2).
+
+    ``inline``: optional (n_pad, R8, d) inline neighbor vectors rebuilt per
+    steady batch by the caller — routes the per-step candidate-vector fetch
+    through the Pallas grouped-DMA expand kernel (~150 GB/s sequential
+    reads) instead of XLA's ~35 GB/s row gather. The beam phase is the
+    build's gather-bound bottleneck, so this is the main build byte-rate
+    lever. Queries are cast to f32 (the kernel's dynamic row loads require
+    f32; distances are computed in f32 either way)."""
     safe_ids = jnp.clip(batch_ids, 0, points_data.shape[0] - 1)
     queries = jnp.take(points_data, safe_ids, axis=0)
+    bq = queries.astype(jnp.float32) if inline is not None else queries
     res = beam_search_batch(
-        queries,
+        bq,
         points_data,
         nbrs,
         degs,
         start,
         batch_ids,
+        inline,
         metric=metric,
         n_valid=n_valid,
         k=0,
@@ -78,7 +93,8 @@ def _beam_phase_impl(
         expand=expand,
         record_visited=True,
         exclude_self=True,
-        use_inline=False,
+        use_inline=inline is not None,
+        expand_group=expand_group,
     )
     old_row = jnp.take(nbrs, safe_ids, axis=0)
     odeg = jnp.take(degs, safe_ids, axis=0)
@@ -278,7 +294,8 @@ def _write_batch(
 # split steps (profiling path): same impl functions, one dispatch per phase
 _beam_phase = partial(
     jax.jit,
-    static_argnames=("R", "L", "vmax", "metric", "n_valid", "expand"),
+    static_argnames=("R", "L", "vmax", "metric", "n_valid", "expand",
+                     "expand_group"),
 )(lambda *a, **k: _beam_phase_impl(*a, **k))
 _fwd_phase = partial(
     jax.jit,
@@ -450,6 +467,24 @@ def build_vamana_graph(
         samples = _scale_samples(
             n, np.random.default_rng(bp.seed + 7919), points.data
         )
+    # inline-expand read phase (see _beam_phase_impl): rebuilt once per
+    # steady (max-width) batch — a ~20 ms full-graph gather that converts
+    # the 32-step beam scan's candidate fetch from XLA row gathers
+    # (~35 GB/s) into grouped Pallas DMA (~150 GB/s). Ramp batches keep the
+    # XLA path (the rebuild would dominate their cost). "auto" enables it
+    # on TPU when the inline array fits comfortably in HBM.
+    inline_env = _os.environ.get("PARLAYANN_BUILD_INLINE", "auto")
+    R8 = (R + 7) // 8 * 8
+    inline_bytes = points.n_pad * R8 * points.d * points.data.dtype.itemsize
+    if inline_env == "1":
+        inline_ok, inline_min_w = True, 0
+    elif inline_env == "auto":
+        inline_ok = (jax.default_backend() == "tpu"
+                     and inline_bytes <= (6 << 30))
+        inline_min_w = 4096
+    else:
+        inline_ok, inline_min_w = False, 0
+    egroup = int(_os.environ.get("PARLAYANN_BUILD_EGROUP", "4"))
     for p in range(bp.num_passes):
         alpha = bp.alpha if p == bp.num_passes - 1 else 1.0
         order = rng.permutation(n).astype(np.int32)
@@ -459,6 +494,10 @@ def build_vamana_graph(
                 start = jnp.asarray(np.maximum(batch, 0))[:, None]
             batch_j = jnp.asarray(batch)
             alpha_j = jnp.float32(alpha)
+            use_inline_batch = (
+                inline_ok and cand_mode != "exact"
+                and (hi - lo) >= max(max_batch, inline_min_w)
+            )
             def read_phase(nbrs, degs, batch_j):
                 if cand_mode == "exact":
                     out = _exact_phase(
@@ -467,17 +506,20 @@ def build_vamana_graph(
                         R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
                     )
                 else:
+                    inline = (
+                        _build_inline_jit(points.data, nbrs)
+                        if use_inline_batch else None
+                    )
                     # PARLAYANN_BUILD_EXPAND (trace-time, A/B only):
                     # vertices expanded per beam step. 2 is the shipped
                     # default (halves the step count vs the reference's 1
                     # at <0.3% recall cost, see vmax note above).
-                    import os as _os
-
                     out = _beam_phase(
-                        nbrs, degs, points.data, batch_j, start,
+                        nbrs, degs, points.data, batch_j, start, inline,
                         R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
                         expand=int(_os.environ.get(
                             "PARLAYANN_BUILD_EXPAND", "2")),
+                        expand_group=egroup,
                     )
                 return out
 
@@ -559,7 +601,7 @@ def profile_one_batch(
     estimate of the per-batch steady-state split. Leaves ``graph``
     untouched (operates on copies)."""
     n, R, L = points.n, bp.R, bp.L
-    vmax = max((3 * L) // 2, R + 16)
+    vmax = max(L, R + 16)  # production default (see build_vamana_graph)
     _, max_batch = batch_schedule(n, n, bp.batch_cap_frac)
     size = 1
     while size < max_batch:
@@ -574,14 +616,24 @@ def profile_one_batch(
     def fence(x):
         _ = np.asarray(x)[:1] if getattr(x, "ndim", 0) else np.asarray(x)
 
+    import os as _os
+
+    R8 = (R + 7) // 8 * 8
+    inline_bytes = points.n_pad * R8 * points.d * points.data.dtype.itemsize
+    use_inline = (
+        _os.environ.get("PARLAYANN_BUILD_INLINE", "auto") != "0"
+        and jax.default_backend() == "tpu" and inline_bytes <= (6 << 30)
+        and max_batch >= 4096
+    )
     best = [float("inf")] * 3
     for _ in range(repeats + 1):  # first rep warms the compile cache
         nbrs = jnp.array(graph.neighbors)  # fresh copies (donated args)
         degs = jnp.array(graph.degrees)
         fence(degs)
         t0 = time.perf_counter()
+        inline = _build_inline_jit(points.data, nbrs) if use_inline else None
         cand_ids, cand_d, v, c = _beam_phase(
-            nbrs, degs, points.data, batch_j, start,
+            nbrs, degs, points.data, batch_j, start, inline,
             R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n, expand=2,
         )
         fence(cand_d)
