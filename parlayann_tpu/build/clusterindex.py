@@ -54,7 +54,7 @@ from parlayann_tpu.types import Metric
 from parlayann_tpu.data.pointset import PointSet
 from parlayann_tpu.ops import quantize
 from parlayann_tpu.ops.distance import INF
-from parlayann_tpu.search.flat import flat_search_batch
+from parlayann_tpu.search.flat import flat_search_batch, _select_sort
 
 from parlayann_tpu.utils.arrays import pow2 as _pow2
 
@@ -113,6 +113,100 @@ def _assign_all(data_f32, n, cents, C, k, metric, step=0):
     data_pad = _pad_rows(data_f32, n, n_pad)
     ids, ds = _assign_all_jit(
         data_pad, cents, C=C, k=k, metric=metric, n=n, step=step,
+    )
+    return (np.asarray(ids).reshape(n_pad, k)[:n],
+            np.asarray(ds).reshape(n_pad, k)[:n])
+
+
+# ---- hierarchical (meta-clustered) assignment ----------------------------
+#
+# The exact nearest-k centroid scan is O(n*C*d): at 10M points and
+# C = 234K micro-clusters that is ~600 TFLOP *per pass* — the flat Lloyd
+# loop stops being computable (the 10M attempt ran for minutes and took
+# the worker down). Standard IVF practice at this ratio (C = n/43) is a
+# coarse quantizer over the centroids; here the coarse level reuses the
+# index's own machinery: cluster the C centroids into Cm ~ C/96 balanced
+# meta-cells (exact kmeans — C is small), pack each cell's member
+# centroids into ONE contiguous (cap, d) block, and assign a point by
+# scanning the Cm meta-centroids (MXU flat scan) then fetching only its
+# top-P cells' blocks through the Pallas expand kernel (one DMA
+# descriptor per cell). Cost per pass: n*Cm*d (scan) + n*P*cap*d
+# (expand) ~ 1/40th of exact at 10M.
+
+def _meta_sizes(C: int, meta_m: int) -> tuple[int, int]:
+    """-> (Cm meta-cell count, cap block capacity). cap carries 40%
+    headroom over the mean cell size so balance_assign displaces little."""
+    Cm = max(8, int(-(-C * 1.25 // meta_m)))
+    cap = -(-int(C / Cm * 1.4 + 1) // 8) * 8
+    while Cm * cap < C + Cm:
+        cap += 8
+    return Cm, cap
+
+
+def _meta_quantizer(cents, C: int, metric: Metric, *, meta_m: int = 96,
+                    seed: int = 0):
+    """Cluster the C centroids into balanced meta-cells.
+    -> (mcents (Cm, d) f32, blocks (Cm, cap, d) f32, idtab (Cm, cap) i32)."""
+    Cm, cap = _meta_sizes(C, meta_m)
+    cj = jnp.asarray(cents, dtype=jnp.float32)[:C]
+    mcents = kmeans(cj, C, Cm, metric=metric, iters=4, seed=seed)
+    ids, dd = _assign_all(cj, C, mcents, Cm, min(4, Cm), metric)
+    memm = balance_assign(ids, dd, Cm, cap)
+    mcents = _recenter(cj, memm, Cm)  # centers of the balanced cells
+    mm = jnp.asarray(memm)
+    blocks = jnp.take(
+        cj, jnp.clip(mm, 0, C - 1).reshape(-1), axis=0
+    ).reshape(Cm, cap, cj.shape[1])
+    blocks = jnp.where((mm >= 0)[:, :, None], blocks, 0.0)
+    return mcents, blocks, mm
+
+
+@partial(jax.jit, static_argnames=("k", "P", "metric", "step"))
+def _approx_assign_jit(data_pad, mcents, blocks, idtab, *, k, P, metric,
+                       step):
+    """Meta-routed nearest-k centroids -> ((nc, step, k) ids, dists)."""
+    from parlayann_tpu.ops.pallas.expand import expand_distances
+
+    nc = data_pad.shape[0] // step
+    Cm, cap, d = blocks.shape
+
+    def one(blk):
+        qf = blk.astype(jnp.float32)
+        mt_i, _ = flat_search_batch(
+            qf, mcents, k=P, metric=metric, n_valid=Cm,
+            chunk=min(Cm, 32768), select="sort",
+        )
+        ds, ids = [], []
+        for p in range(P):
+            mi = jnp.clip(mt_i[:, p], 0, Cm - 1)
+            dp = expand_distances(blocks, mi, qf, metric=metric,
+                                  block_b=256, group=4)
+            ip = jnp.take(idtab, mi, axis=0)
+            dp = jnp.where((ip >= 0) & (mt_i[:, p:p + 1] >= 0), dp, INF)
+            ds.append(dp)
+            ids.append(jnp.where(ip >= 0, ip, -1))
+        sd, si = _select_sort(
+            jnp.concatenate(ds, axis=1), jnp.concatenate(ids, axis=1), k
+        )
+        return si, sd
+
+    return jax.lax.map(one, data_pad.reshape(nc, step, -1))
+
+
+def approx_assign(data_f32, n, cents, C, k, metric, *, P=2, meta_m=96,
+                  seed=0):
+    """Hierarchical nearest-k centroids -> (ids (n, k), dists (n, k)).
+    Same contract as ``_assign_all`` (exact squared L2 against the true
+    centroids — only the CANDIDATE SET is meta-restricted to the point's
+    top-P cells)."""
+    mcents, blocks, idtab = _meta_quantizer(
+        cents, C, metric, meta_m=meta_m, seed=seed,
+    )
+    step = _kmeans_chunk_for(blocks.shape[0])
+    n_pad = -(-n // step) * step
+    data_pad = _pad_rows(data_f32, n, n_pad)
+    ids, ds = _approx_assign_jit(
+        data_pad, mcents, blocks, idtab, k=k, P=P, metric=metric, step=step,
     )
     return (np.asarray(ids).reshape(n_pad, k)[:n],
             np.asarray(ds).reshape(n_pad, k)[:n])
@@ -408,13 +502,26 @@ class ClusterIndex:
         rerank gather, no quantization flips). Needs n < 16.7M and ~4x
         the ext HBM. "int8" is the capacity layout (+ q8 tier + f32
         rerank). "auto" = f32 when the f32 ext fits ~6 GiB, else int8."""
+        import os as _os
+        import time as _time
+
         n, d = points.n, points.d
         C = max(8, int(-(-n * slack // m)))
+        # exact Lloyd is O(n*C*d) per pass: past ~4e10 point-centroid
+        # pairs (≈1M x 40K) the flat scans stop being computable on one
+        # chip (the 10M x 234K attempt took the worker down) — switch to
+        # the meta-routed hierarchical passes (see _meta_quantizer)
+        exact_limit = float(_os.environ.get(
+            "PARLAYANN_KMEANS_EXACT_LIMIT", "4e10"))
+        hier = (float(n) * C) > exact_limit
+        meta_m = int(_os.environ.get("PARLAYANN_META_M", "96"))
+        step = _kmeans_chunk_for(
+            _meta_sizes(C, meta_m)[0] if hier else C
+        )
         # ONE padded f32 working copy shared by kmeans/assign/recenter
         # (each callee padding its own copy put 3x 4.8 GiB of data in
         # HBM at 10M and crashed the worker); f32 input of the right
         # shape is used as-is
-        step = _kmeans_chunk_for(C)
         data = _pad_rows(
             points.data if points.data.dtype == jnp.float32
             else points.data[:n].astype(jnp.float32),
@@ -425,24 +532,56 @@ class ClusterIndex:
         # centroid; standard IVF-MIPS practice is L2 cells scored by the
         # true metric at query time, which ClusterIndex.search does)
         cmetric = Metric.L2
-        cents = kmeans(data, n, C, metric=cmetric, iters=iters, seed=seed,
-                       step=step)
-        nbr_ids, nbr_d = _assign_all(data, n, cents, C, cand, cmetric,
-                                     step=step)
-        members = balance_assign(nbr_ids, nbr_d, C, m)
-        del nbr_ids, nbr_d
-        cents = _recenter(data, members, C)
+        if hier:
+            # random centroid seeds (standard for fine quantizers at
+            # C = O(n/m)), then balanced approximate-Lloyd rounds: each
+            # round is the full assign -> balance -> recenter pipeline
+            rng = np.random.default_rng(seed)
+            cents = jnp.take(
+                data,
+                jnp.asarray(rng.choice(n, C, replace=False).astype(np.int32)),
+                axis=0,
+            )
+            rounds = max(1, int(_os.environ.get("PARLAYANN_HIER_ROUNDS",
+                                                "2")))
+            P = int(_os.environ.get("PARLAYANN_HIER_P", "2"))
+            for r in range(rounds):
+                t0 = _time.perf_counter()
+                nbr_ids, nbr_d = approx_assign(
+                    data, n, cents, C, cand, cmetric, P=P, meta_m=meta_m,
+                    seed=seed + r,
+                )
+                members = balance_assign(nbr_ids, nbr_d, C, m)
+                cents = _recenter(data, members, C)
+                if verbose:
+                    print(f"hier round {r + 1}/{rounds}: "
+                          f"{_time.perf_counter() - t0:.1f}s", flush=True)
+            del nbr_ids, nbr_d
+        else:
+            cents = kmeans(data, n, C, metric=cmetric, iters=iters,
+                           seed=seed, step=step)
+            nbr_ids, nbr_d = _assign_all(data, n, cents, C, cand, cmetric,
+                                         step=step)
+            members = balance_assign(nbr_ids, nbr_d, C, m)
+            del nbr_ids, nbr_d
+            cents = _recenter(data, members, C)
         del data  # free the padded copy before the ext-row packing
-        aid, _ = _assign_all(np.asarray(cents), C, cents, C, Rc + 1,
-                             cmetric, step=8192)
-        # drop self from the adjacency (it is always the nearest)
+        if float(C) * C > exact_limit:
+            aid, _ = approx_assign(jnp.asarray(cents), C, cents, C, Rc + 1,
+                                   cmetric, meta_m=meta_m, seed=seed + 101)
+        else:
+            aid, _ = _assign_all(np.asarray(cents), C, cents, C, Rc + 1,
+                                 cmetric, step=8192)
+        # drop self from the adjacency (it is always the nearest), then
+        # compact each row's valid entries left (vectorized — the
+        # per-row python loop cost ~15 s at C=234K)
         adj = np.where(
-            aid[:, :] == np.arange(C, dtype=np.int32)[:, None], -1, aid
+            aid[:, :] == np.arange(C, dtype=aid.dtype)[:, None], -1, aid
         )
-        adj_list = np.full((C, Rc), -1, np.int32)
-        for c in range(C):
-            row = adj[c][adj[c] >= 0][:Rc]
-            adj_list[c, : len(row)] = row
+        ordr = np.argsort(adj < 0, axis=1, kind="stable")
+        adj_list = np.ascontiguousarray(
+            np.take_along_axis(adj, ordr, axis=1)[:, :Rc]
+        ).astype(np.int32)
         return ClusterIndex._finish(points, members, adj_list, cents,
                                     C, m, Rc, ext_dtype=ext_dtype)
 

@@ -251,3 +251,51 @@ def test_native_balance_matches_numpy():
     finally:
         natmod.balance_assign = real
     np.testing.assert_array_equal(nm, ref)
+
+
+def test_approx_assign_matches_exact_top1():
+    """Meta-routed hierarchical assignment (used past the exact-Lloyd
+    FLOP limit, see ClusterIndex.build): the candidate set is restricted
+    to the point's top-P meta-cells, so the top-1 centroid must agree
+    with the exact scan for nearly every point, and returned distances
+    must be the TRUE squared distances for the ids returned."""
+    from parlayann_tpu.build.clusterindex import (
+        _assign_all, approx_assign, kmeans,
+    )
+    import jax.numpy as jnp
+    from parlayann_tpu.types import Metric
+
+    rng = np.random.default_rng(3)
+    X, _ = synthetic.clustered(
+        4000, 32, n_queries=0, n_clusters=40, cluster_std=0.35, seed=3
+    )
+    data = jnp.asarray(X)
+    C = 320
+    cents = kmeans(data, 4000, C, metric=Metric.L2, iters=3, seed=0)
+    eids, eds = _assign_all(data, 4000, cents, C, 4, Metric.L2)
+    aids, ads = approx_assign(data, 4000, cents, C, 4, Metric.L2,
+                              P=2, meta_m=48)
+    agree = (eids[:, 0] == aids[:, 0]).mean()
+    assert agree >= 0.97, f"top-1 agreement {agree}"
+    # distances are exact for the ids chosen
+    cn = np.asarray(cents)
+    want = ((X - cn[aids[:, 0]]) ** 2).sum(1)
+    np.testing.assert_allclose(ads[:, 0], want, rtol=1e-3, atol=1e-2)
+
+
+def test_hierarchical_build_recall(monkeypatch):
+    """Force the hierarchical build path at small n and check it delivers
+    the same recall class as the exact path."""
+    monkeypatch.setenv("PARLAYANN_KMEANS_EXACT_LIMIT", "1")
+    X, Q = synthetic.clustered(
+        4000, 64, n_queries=48, n_clusters=40, cluster_std=0.35, seed=11
+    )
+    ps = PointSet.from_numpy(X)
+    ci = ClusterIndex.build(ps, m=32, Rc=16, ext_dtype="int8")
+    mem = ci.members[ci.members >= 0]
+    assert len(mem) == ps.n and len(np.unique(mem)) == ps.n
+    gt_ids, gt_dists = compute_groundtruth(ps, Q, k=10, query_batch=48)
+    ids, _, _ = ci.search(Q, k=10, n_probe=8, cut=0.0)
+    rec = compute_recall(np.asarray(ids), np.asarray(gt_ids),
+                         np.asarray(gt_dists), 10)
+    assert rec >= 0.9, f"hierarchical-build recall {rec}"
