@@ -529,8 +529,14 @@ def _descend_dev(
 
 
 def build_hnsw_graph(points: PointSet, bp: BuildParams,
-                     verbose: bool = False):
-    """Build an HNSW index (ctor + insert, HNSW.hpp:748-1014)."""
+                     verbose: bool = False, quantize_build: bool = False):
+    """Build an HNSW index (ctor + insert, HNSW.hpp:748-1014).
+
+    ``quantize_build``: run every build-time distance (descents, efc
+    beams, prunes) on a scalar-quantized int8 tier — 4x smaller gathers,
+    the same lever the Vamana builder ships (build_vamana_index). The
+    returned index's levels are re-gathered at full precision, so search
+    is unaffected except through graph structure."""
     n = points.n
     m = bp.R if bp.R > 0 else 20
     efc = bp.L if bp.L > 0 else 50
@@ -540,13 +546,19 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
     rng = np.random.default_rng(bp.seed)
     t0 = time.perf_counter()
 
+    build_ps = points
+    if quantize_build and points.data.dtype == jnp.float32:
+        from parlayann_tpu.ops import quantize
+
+        build_ps = quantize.quantize_pointset(points, bits=8)
+
     levels_of = assign_levels(n, m_l, rng)
     max_level = int(levels_of.max())
     levels = []
     for l in range(max_level + 1):
         members = np.flatnonzero(levels_of >= l).astype(np.int32)
         cap = 2 * m if l == 0 else m
-        levels.append(_make_level(points, members, cap))
+        levels.append(_make_level(build_ps, members, cap))
     # level 0 membership is everyone in id order: local ids == global ids
     assert np.array_equal(levels[0].members, np.arange(n, dtype=np.int32))
 
@@ -554,7 +566,7 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
     entrances = [int(order[0])]  # entrance list (HNSW.hpp:130)
     ent_level = int(levels_of[entrances[0]])
 
-    max_batch = min(max(int(0.02 * n), 1), 1_000_000)
+    max_batch = min(max(int(bp.batch_cap_frac * n), 1), 1_000_000)
     # prefix-doubling boundaries (HNSW.hpp:777-800)
     bounds = []
     lo = 0
@@ -604,7 +616,7 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
             if desc_mask.any() and l > 0:
                 entry_next = _descend_dev(
                     lv.points_l, lv.nbrs, lv.degs, lv.members_d,
-                    lv.glob2loc_d, points.data, bg_d, entry_d,
+                    lv.glob2loc_d, build_ps.data, bg_d, entry_d,
                     jnp.asarray(desc_mask),
                     n_valid=len(lv.members), metric=points.metric,
                 )
@@ -615,7 +627,7 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
             if ins_mask.any():
                 lv.nbrs, lv.degs, entry_next = _insert_at_level_dev(
                     lv.points_l, lv.nbrs, lv.degs, lv.members_d,
-                    lv.glob2loc_d, points.data, bg_d, entry_d,
+                    lv.glob2loc_d, build_ps.data, bg_d, entry_d,
                     jnp.asarray(ins_mask), a_vam,
                     n_valid=len(lv.members), efc=efc, m_fwd=m,
                     metric=points.metric,
@@ -636,6 +648,15 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
         if verbose and bi % 8 == 0:
             print(f"hnsw: batch {bi+1}/{len(bounds)}", flush=True)
 
+    if build_ps is not points:
+        # search levels hold full-precision vectors (upper-level descent
+        # quality); the q8 tier was build-only
+        for lv in levels:
+            ml, ml_pad = len(lv.members), lv.points_l.shape[0]
+            lv.points_l = jnp.take(
+                points.data,
+                jnp.asarray(np.pad(lv.members, (0, ml_pad - ml))), axis=0,
+            )
     idx = HNSWIndex(points=points, levels=levels,
                     entrances=np.asarray(entrances, dtype=np.int32),
                     m=m, efc=efc, alpha=alpha, m_l=m_l)
@@ -652,6 +673,7 @@ def build_hnsw_index(
     m_l: Optional[float] = None,
     verbose: bool = False,
     seed: int = 0,
+    quantize_build: bool = False,
 ):
     """Convenience wrapper (python/builder.cpp:202-237; defaults from
     docs/algorithms.md:77-81)."""
@@ -663,5 +685,6 @@ def build_hnsw_index(
         R=m, L=efc, alpha=alpha, m_l=m_l if m_l is not None else 0.34,
         seed=seed,
     )
-    idx, dt = build_hnsw_graph(ps, bp, verbose=verbose)
+    idx, dt = build_hnsw_graph(ps, bp, verbose=verbose,
+                               quantize_build=quantize_build)
     return idx, ps, dt

@@ -188,7 +188,8 @@ def _descent_round(points_data, nbr_ids, nbr_dists, rev, key, *, s1, s2, K,
 
 
 def build_pynndescent_graph(points: PointSet, bp: BuildParams,
-                            verbose: bool = False, polish: bool = True):
+                            verbose: bool = False, polish: bool = True,
+                            quantize_build: bool = False):
     """Build the pyNNDescent graph. Returns (GraphIndexData, seconds).
 
     ``polish``: one exact 2-hop round after the sampled rounds converge.
@@ -197,12 +198,25 @@ def build_pynndescent_graph(points: PointSet, bp: BuildParams,
     .9929 knn-recall@10) but miss ~0.3 borderline entries/row that the
     exhaustive join finds, costing 5-7pp end-to-end recall on
     quasi-uniform data; the exact round recovers it to within ~1.5pp at
-    the beam 20-40 operating points."""
+    the beam 20-40 operating points.
+
+    ``quantize_build``: run every candidate-distance evaluation (leaf
+    all-pairs, descent rounds, exact polish, final undirect prune) on a
+    scalar-quantized int8 tier. The descent and polish rounds are
+    row-gather bound (a polish chunk fetches (chunk, J*J) vectors), so
+    int8 rows cut the build's dominant byte stream 4x; ordering is
+    preserved up to quantization (the same tradeoff the Vamana builder
+    ships as its default, build_vamana_index)."""
     n, n_pad = points.n, points.n_pad
     K = bp.R
     S = bp.cluster_size
     t0 = time.perf_counter()
     key = jax.random.key(bp.seed)
+    build_ps = points
+    if quantize_build and build_ps.data.dtype == jnp.float32:
+        from parlayann_tpu.ops import quantize
+
+        build_ps = quantize.quantize_pointset(points, bits=8)
 
     nbr_ids = jnp.full((n_pad, K), -1, dtype=jnp.int32)
     nbr_dists = jnp.full((n_pad, K), INF, dtype=jnp.float32)
@@ -211,7 +225,7 @@ def build_pynndescent_graph(points: PointSet, bp: BuildParams,
     for t in range(max(bp.num_clusters, 1)):
         key, sub = jax.random.split(key)
         ids, labels = cluster_tree_labels(
-            points.data, sub, metric=points.metric, cluster_size=S, n_valid=n
+            build_ps.data, sub, metric=points.metric, cluster_size=S, n_valid=n
         )
         members, sizes = leaf_members(np.asarray(ids), np.asarray(labels), S)
         chunk = max(1, min(len(members), (1 << 24) // (S * S)))
@@ -223,7 +237,7 @@ def build_pynndescent_graph(points: PointSet, bp: BuildParams,
                 mem = np.concatenate([mem, np.full((pad, S), -1, np.int32)])
                 sz = np.concatenate([sz, np.zeros(pad, np.int32)])
             nbr_ids, nbr_dists = _leaf_topk(
-                points.data, jnp.asarray(mem), jnp.asarray(sz),
+                build_ps.data, jnp.asarray(mem), jnp.asarray(sz),
                 nbr_ids, nbr_dists, S=S, K=K, metric=points.metric, n_valid=n,
             )
         if verbose:
@@ -238,7 +252,7 @@ def build_pynndescent_graph(points: PointSet, bp: BuildParams,
         key, k1, k2 = jax.random.split(key, 3)
         rev = _reverse_capped(nbr_ids, k1, K=K, metric=points.metric, n_valid=n)
         nbr_ids, nbr_dists, changed = _descent_round(
-            points.data, nbr_ids, nbr_dists, rev, k2,
+            build_ps.data, nbr_ids, nbr_dists, rev, k2,
             s1=s1, s2=s2, K=K, metric=points.metric, n_valid=n,
         )
         ch = int(changed)
@@ -253,7 +267,7 @@ def build_pynndescent_graph(points: PointSet, bp: BuildParams,
         rev = _reverse_capped(nbr_ids, kp, K=K, metric=points.metric,
                               n_valid=n)
         nbr_ids, nbr_dists, chp = _descent_round_exact(
-            points.data, nbr_ids, nbr_dists, rev,
+            build_ps.data, nbr_ids, nbr_dists, rev,
             K=K, metric=points.metric, n_valid=n)
         if verbose:
             print(f"pynn exact polish: changed {int(chp)}", flush=True)
@@ -262,16 +276,16 @@ def build_pynndescent_graph(points: PointSet, bp: BuildParams,
     key, k3 = jax.random.split(key)
     rev = _reverse_capped(nbr_ids, k3, K=K, metric=points.metric, n_valid=n)
     rev_safe = jnp.clip(rev, 0, n_pad - 1)
-    me = points.data.astype(jnp.float32)
+    me = build_ps.data.astype(jnp.float32)
     rev_d = distance.gathered(
-        me, jnp.take(points.data, rev_safe, axis=0).astype(jnp.float32),
+        me, jnp.take(build_ps.data, rev_safe, axis=0).astype(jnp.float32),
         points.metric,
     )
     rev_d = jnp.where(rev >= 0, rev_d, INF)
     cand_ids = jnp.concatenate([nbr_ids, rev], axis=1)
     cand_d = jnp.concatenate([nbr_dists, rev_d], axis=1)
     pr = robust_prune_chunked(
-        jnp.arange(n_pad, dtype=jnp.int32), cand_ids, cand_d, points.data,
+        jnp.arange(n_pad, dtype=jnp.int32), cand_ids, cand_d, build_ps.data,
         bp.alpha if bp.alpha > 0 else 1.2,
         R=K, metric=points.metric, n_valid=n,
     )
@@ -292,6 +306,7 @@ def build_pynndescent_index(
     delta: float = 0.05,
     verbose: bool = False,
     seed: int = 0,
+    quantize_build: bool = False,
 ):
     """Convenience wrapper (python/builder.cpp:158-184; defaults from
     docs/algorithms.md:110-114)."""
@@ -303,5 +318,6 @@ def build_pynndescent_index(
         R=K, cluster_size=cluster_size, num_clusters=num_clusters,
         alpha=alpha, delta=delta, seed=seed,
     )
-    g, dt = build_pynndescent_graph(ps, bp, verbose=verbose)
+    g, dt = build_pynndescent_graph(ps, bp, verbose=verbose,
+                                    quantize_build=quantize_build)
     return g, ps, dt

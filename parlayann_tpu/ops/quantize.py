@@ -69,18 +69,52 @@ def mips_translate(x: jax.Array, slope, offset, bits: int = 8) -> jax.Array:
     return q.astype(jnp.int8 if bits <= 8 else jnp.int16)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("bits", "n", "l2"))
+def _quantize_fused(data: jax.Array, *, bits: int, n: int, l2: bool):
+    """params + translate as ONE fused program. The eager path cost a
+    full-array slice copy (``data[:n]``) plus one materialized (n_pad, d)
+    f32 intermediate per arithmetic op — at 10M x 128 that transient
+    footprint OOM'd a 16 GiB chip whose steady state fits easily. Fused,
+    the peak is input + int8 output; pad rows are masked out of the
+    range scan instead of sliced away."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (data.shape[0], 1), 0)
+    valid = row < n
+    xf = data.astype(jnp.float32)
+    if l2:
+        lo = jnp.min(jnp.where(valid, xf, jnp.inf)).astype(jnp.float32)
+        hi = jnp.max(jnp.where(valid, xf, -jnp.inf)).astype(jnp.float32)
+        slope = (2.0 ** bits - 1.0) / jnp.maximum(hi - lo, 1e-30)
+        offset = lo
+        q = jnp.clip(jnp.round((xf - offset) * slope), 0.0, 2.0 ** bits - 1.0)
+        qd = (q - 128.0).astype(jnp.int8) if bits <= 8 else q.astype(jnp.uint16)
+    else:
+        max_abs = jnp.max(jnp.where(valid, jnp.abs(xf), 0.0))
+        levels = 2.0 ** (bits - 1) - 1.0
+        slope = levels / jnp.maximum(max_abs, 1e-30)
+        offset = jnp.float32(0.0)
+        q = jnp.clip(jnp.round(xf * slope), -levels, levels)
+        qd = q.astype(jnp.int8 if bits <= 8 else jnp.int16)
+    return qd, slope, offset
+
+
 def quantize_pointset(ps: PointSet, bits: int = 8, trim: float = 0.0) -> PointSet:
     """Build a quantized tier of a PointSet (the re-quantizing PointRange
     constructor, point_range.h:55-66). Returns a new PointSet whose
     ``translate_query`` counterpart is :func:`translate_query`."""
     # params over valid rows only — zero pad rows would widen the range
     # (pull lo to 0 / bias the trim quantile) and waste resolution
-    if ps.metric is Metric.L2:
-        slope, offset = euclidean_params(ps.data[: ps.n], bits)
-        qdata = euclidean_translate(ps.data, slope, offset, bits)
-    else:
+    if ps.metric is not Metric.L2 and trim > 0.0:
+        # quantile trim keeps the eager path (rare, and jnp.quantile over
+        # the flattened array is its own memory story)
         slope, offset = mips_params(ps.data[: ps.n], bits, trim)
         qdata = mips_translate(ps.data, slope, offset, bits)
+    else:
+        qdata, slope, offset = _quantize_fused(
+            ps.data, bits=bits, n=ps.n, l2=(ps.metric is Metric.L2)
+        )
     return PointSet(
         data=qdata,
         n=ps.n,

@@ -87,6 +87,7 @@ def main():
 
         bp = BuildParams(R=40, cluster_size=100, num_clusters=10,
                          alpha=1.2, delta=0.05)
+        pynn_q8 = os.environ.get("PYNN_Q8", "0") == "1"
         if os.environ.get("PYNN_GAUSS", "1") == "1":
             # connected dataset: the clustered set's 1000 islands make any
             # pure k-NN graph disconnected (BENCHES.md)
@@ -100,7 +101,8 @@ def main():
             psg, Qg, gtg_i, gtg_d = ps, Q, gt_ids, gt_dists
         for rep in range(2):
             t0 = time.perf_counter()
-            graph, _ = build_pynndescent_graph(psg, bp, verbose=False)
+            graph, _ = build_pynndescent_graph(psg, bp, verbose=False,
+                                               quantize_build=pynn_q8)
             avg, mx = graph.stats()
             print(f"pyNNDescent build rep{rep}: {time.perf_counter()-t0:.2f}s "
                   f"deg {avg:.2f}/{mx}", flush=True)
@@ -119,11 +121,16 @@ def main():
     if "hnsw" in which:
         from parlayann_tpu.build.hnsw import build_hnsw_graph
 
-        bp = BuildParams(R=20, L=50, alpha=0.9, m_l=0.34)
+        hnsw_q8 = os.environ.get("HNSW_Q8", "0") == "1"
+        hnsw_cap = float(os.environ.get("HNSW_CAP", "0.02"))
+        bp = BuildParams(R=20, L=50, alpha=0.9, m_l=0.34,
+                         batch_cap_frac=hnsw_cap)
         t0 = time.perf_counter()
-        idx, dt = build_hnsw_graph(ps, bp, verbose=False)
+        idx, dt = build_hnsw_graph(ps, bp, verbose=False,
+                                   quantize_build=hnsw_q8)
         print(f"HNSW build cold: {dt:.2f}s", flush=True)
-        idx, dt = build_hnsw_graph(ps, bp, verbose=False)
+        idx, dt = build_hnsw_graph(ps, bp, verbose=False,
+                                   quantize_build=hnsw_q8)
         print(f"HNSW build: {dt:.2f}s", flush=True)
         for ef in (12, 16, 22, 30, 50):
             best = 1e9
