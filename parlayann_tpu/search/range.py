@@ -205,7 +205,10 @@ def self_join(
         ids = np.asarray(rr.ids)[: hi - lo]
         ds = np.asarray(rr.dists)[: hi - lo]
         total_cmps += int(np.asarray(rr.dist_cmps)[: hi - lo].sum())
-        for b in range(hi - lo):
-            row = ids[b][(ids[b] >= 0) & (ds[b] <= radius)]
-            out.append(row.astype(np.int32))
+        # vectorized row split: one boolean mask + cumsum offsets per batch
+        # (a per-row fancy-index loop here cost minutes at SSNPP-scale n)
+        m = (ids >= 0) & (ds <= radius)
+        flat = ids[m].astype(np.int32)  # row-major: rows stay contiguous
+        offs = np.cumsum(m.sum(axis=1))[:-1]
+        out.extend(np.split(flat, offs))
     return out, total_cmps
