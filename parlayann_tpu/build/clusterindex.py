@@ -333,6 +333,93 @@ def balance_assign(nbr_ids: np.ndarray, nbr_d: np.ndarray, C: int,
     return members
 
 
+def _mask_spilled(members: np.ndarray, nbr_ids: np.ndarray) -> np.ndarray:
+    """-1 out member slots whose point was SPILL-placed — its cluster is
+    not among its candidate centroids (balance_assign's overflow path) —
+    so recentering tracks local density only. Points accepted at a
+    lower-rank candidate stay: they are still near their centroid."""
+    C, m = members.shape
+    pts = members.reshape(-1)
+    cl = np.repeat(np.arange(C, dtype=np.int32), m)
+    inlist = np.zeros(len(pts), bool)
+    v = np.flatnonzero(pts >= 0)
+    inlist[v] = (nbr_ids[pts[v]] == cl[v, None]).any(axis=1)
+    return np.where(inlist.reshape(C, m), members, -1)
+
+
+def _respill_local(data_f32, n, members, nbr_ids, cents, C, m, metric,
+                   *, verbose=False):
+    """Re-place SPILLED points into their NEAREST cluster with free
+    capacity -> members (C, m).
+
+    balance_assign's overflow path dumps points whose candidate clusters
+    are all full into the globally EMPTIEST clusters — arbitrary
+    geometry. A query never probes an arbitrary cluster, so coverage
+    (and recall ceiling) ≈ 1 - spill_rate: the 1.6M/10M hier collapse
+    (recall flat ~.62/.47, diag_hier_repro.py) was a 34% spill. Here the
+    spilled points are searched against the free-capacity clusters only
+    and placed by the same distance-priority rank rounds, widening the
+    candidate count until everyone fits (total capacity = slack*n >= n
+    guarantees termination)."""
+    local = _mask_spilled(members, nbr_ids)
+    n_spill = int((members >= 0).sum() - (local >= 0).sum())
+    if n_spill == 0:
+        return members
+    smask = (members >= 0) & (local < 0)
+    pending = members[smask].astype(np.int64)
+    members = local
+    # compact each row's survivors left (slot order is not meaningful)
+    ordr = np.argsort(members < 0, axis=1, kind="stable")
+    members = np.take_along_axis(members, ordr, axis=1)
+    fill = (members >= 0).sum(axis=1).astype(np.int64)
+    cents = jnp.asarray(cents, dtype=jnp.float32)
+    k = 8
+    it = 0
+    while len(pending):
+        it += 1
+        free = np.flatnonzero(fill < m).astype(np.int32)
+        kk = int(min(k, len(free)))
+        sub = jnp.take(cents, jnp.asarray(free), axis=0)
+        pvec = jnp.take(data_f32, jnp.asarray(pending, dtype=np.int32),
+                        axis=0)
+        if float(len(pending)) * len(free) > 4e10:
+            ids, d = approx_assign(pvec, len(pending), sub, len(free),
+                                   kk, metric, seed=it)
+        else:
+            ids, d = _assign_all(pvec, len(pending), sub, len(free), kk,
+                                 metric)
+        gids = free[np.clip(ids, 0, len(free) - 1)]
+        gids = np.where(ids >= 0, gids, -1).astype(np.int64)
+        order = np.argsort(d[:, 0], kind="stable")
+        placed = np.zeros(len(pending), bool)
+        for j in range(kk):
+            rem = order[~placed[order]]
+            if not len(rem):
+                break
+            c = gids[rem, j]
+            valid = c >= 0
+            sidx = np.argsort(c, kind="stable")
+            cs = c[sidx]
+            newgrp = np.r_[True, cs[1:] != cs[:-1]]
+            grp_start = np.maximum.accumulate(
+                np.where(newgrp, np.arange(len(cs)), 0)
+            )
+            rank = np.arange(len(cs)) - grp_start
+            cap = np.where(valid[sidx], m - fill[np.clip(cs, 0, C - 1)], 0)
+            acc = rank < cap
+            cacc = cs[acc]
+            slot = fill[cacc] + rank[acc]
+            members[cacc, slot] = pending[rem[sidx[acc]]]
+            fill += np.bincount(cacc, minlength=C)
+            placed[rem[sidx[acc]]] = True
+        pending = pending[~placed]
+        if verbose:
+            print(f"respill pass {it} (k={kk}): {n_spill} -> "
+                  f"{len(pending)} left", flush=True)
+        k = min(k * 4, C)
+    return members
+
+
 @partial(jax.jit, static_argnames=("block",))
 def _recenter_jit(data_f32, mm, *, block):
     n = data_f32.shape[0]
@@ -545,17 +632,63 @@ class ClusterIndex:
             rounds = max(1, int(_os.environ.get("PARLAYANN_HIER_ROUNDS",
                                                 "2")))
             P = int(_os.environ.get("PARLAYANN_HIER_P", "2"))
+            # The LLOYD rounds must be (near-)unconstrained: the exact
+            # path runs 6 free Lloyd iterations and balances ONCE at the
+            # end, and that freedom is what lets a centroid MIGRATE into
+            # a seed-starved dense region (its mean drifts toward the
+            # orphan mass over rounds). Balancing each round at the true
+            # capacity m froze that migration — seed-starved regions
+            # stayed starved, capacity competition compounded, and 36-42%
+            # of points spilled to arbitrary clusters by round 2 (the
+            # 10M/1.6M coverage collapse: recall flat ~.47/.62 at any
+            # probe count, diag_hier_repro.py). Relaxed round capacity
+            # (4m) keeps the recenter means ~true Lloyd means while the
+            # members table stays the gather machinery.
+            m_round = m * int(_os.environ.get("PARLAYANN_HIER_ROUND_CAP",
+                                              "4"))
             for r in range(rounds):
                 t0 = _time.perf_counter()
                 nbr_ids, nbr_d = approx_assign(
                     data, n, cents, C, cand, cmetric, P=P, meta_m=meta_m,
                     seed=seed + r,
                 )
-                members = balance_assign(nbr_ids, nbr_d, C, m)
-                cents = _recenter(data, members, C)
+                members = balance_assign(nbr_ids, nbr_d, C, m_round)
+                # recenter on LOCAL members only: spill-placed points
+                # (balance ran out of capacity in all their candidate
+                # clusters) land arbitrarily far away and would drag the
+                # receiving centroid off its density
+                local = _mask_spilled(members, nbr_ids)
+                # keep the previous centroid where no local member remains
+                # (recenter would emit a zero vector — collapsed centroids
+                # at the data mean attract nothing)
+                nonempty = jnp.asarray((local >= 0).any(axis=1))
+                cents = jnp.where(
+                    nonempty[:, None], _recenter(data, local, C), cents
+                )
                 if verbose:
+                    spilled = int((members >= 0).sum() - (local >= 0).sum())
                     print(f"hier round {r + 1}/{rounds}: "
-                          f"{_time.perf_counter() - t0:.1f}s", flush=True)
+                          f"{_time.perf_counter() - t0:.1f}s "
+                          f"spilled {spilled} ({spilled / n:.3f})",
+                          flush=True)
+            # final assignment at the TRUE capacity m, against the
+            # settled centroids (mirrors the exact path: kmeans then one
+            # balance), then relocate any spill into nearest-with-space
+            # clusters (_respill_local) and recenter on the now-all-local
+            # membership — the probe ordering needs centroids on the
+            # mass they actually hold.
+            t0 = _time.perf_counter()
+            nbr_ids, nbr_d = approx_assign(
+                data, n, cents, C, cand, cmetric, P=P, meta_m=meta_m,
+                seed=seed + rounds,
+            )
+            members = balance_assign(nbr_ids, nbr_d, C, m)
+            members = _respill_local(data, n, members, nbr_ids, cents,
+                                     C, m, cmetric, verbose=verbose)
+            cents = _recenter(data, members, C)
+            if verbose:
+                print(f"hier final: {_time.perf_counter() - t0:.1f}s",
+                      flush=True)
             del nbr_ids, nbr_d
         else:
             cents = kmeans(data, n, C, metric=cmetric, iters=iters,
@@ -563,6 +696,8 @@ class ClusterIndex:
             nbr_ids, nbr_d = _assign_all(data, n, cents, C, cand, cmetric,
                                          step=step)
             members = balance_assign(nbr_ids, nbr_d, C, m)
+            members = _respill_local(data, n, members, nbr_ids, cents,
+                                     C, m, cmetric, verbose=verbose)
             del nbr_ids, nbr_d
             cents = _recenter(data, members, C)
         del data  # free the padded copy before the ext-row packing

@@ -48,6 +48,54 @@ from parlayann_tpu.ops.pallas.expand import build_inline
 _build_inline_jit = jax.jit(build_inline)
 
 
+def _build_inline_ext_lazy():
+    from parlayann_tpu.ops.pallas.fusedbeam import build_inline_ext
+
+    return jax.jit(build_inline_ext)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("R", "L", "vmax", "metric", "n_valid"),
+)
+def _fused_read_phase(
+    nbrs, degs, points_data, batch_ids, start, inline_ext,
+    *, R, L, vmax, metric, n_valid,
+):
+    """Read phase on the fused Pallas beam kernel (build_beam_fused):
+    single-expansion steps whose per-step algebra runs in packed lanes
+    inside one kernel instead of XLA lane sorts — the same kernel that
+    won the search-side A/B. Candidates = stacked expansion sequence
+    (the visited list) ∪ current out-edges, exactly the hybrid
+    _beam_phase_impl contract (index.h:251-262). Self is masked from
+    the visited list on the way out (the hybrid excludes it from the
+    beam; here it costs one wasted expansion on passes >= 2 and its
+    out-neighbors re-enter as candidates anyway)."""
+    from parlayann_tpu.ops.pallas.fusedbeam import build_beam_fused
+
+    safe_ids = jnp.clip(batch_ids, 0, points_data.shape[0] - 1)
+    queries = jnp.take(points_data, safe_ids, axis=0)
+    qf = queries.astype(jnp.float32)
+    vis_ids, vis_d, nvv, cm = build_beam_fused(
+        qf, points_data, inline_ext, start,
+        metric=metric, n_valid=n_valid, L=L, vmax=vmax,
+    )
+    vis_d = jnp.where(vis_ids == batch_ids[:, None], INF, vis_d)
+    old_row = jnp.take(nbrs, safe_ids, axis=0)
+    odeg = jnp.take(degs, safe_ids, axis=0)
+    old_ok = jnp.arange(R, dtype=jnp.int32)[None, :] < odeg[:, None]
+    old_vecs = jnp.take(
+        points_data, jnp.clip(old_row, 0, points_data.shape[0] - 1), axis=0
+    )
+    old_d = jnp.where(old_ok, distance.gathered(queries, old_vecs, metric), INF)
+    cand_ids = jnp.concatenate([vis_ids, old_row], axis=1)
+    cand_d = jnp.concatenate([vis_d, old_d], axis=1)
+    active = batch_ids >= 0
+    return (cand_ids, cand_d,
+            jnp.sum(jnp.where(active, nvv, 0)),
+            jnp.sum(jnp.where(active, cm, 0)))
+
+
 class BuildStats(NamedTuple):
     build_time: float
     beam_time: float  # t_beam (index.h:217)
@@ -485,6 +533,18 @@ def build_vamana_graph(
     else:
         inline_ok, inline_min_w = False, 0
     egroup = int(_os.environ.get("PARLAYANN_BUILD_EGROUP", "4"))
+    # fused read phase (PARLAYANN_BUILD_FUSED=1|auto|0): the packed-lane
+    # Pallas kernel replaces the per-step XLA lane sorts for steady
+    # batches. Needs an int8 tier (the ext rows carry id byte planes in
+    # the d lanes, d >= R8). See _fused_read_phase.
+    fused_env = _os.environ.get("PARLAYANN_BUILD_FUSED", "0")
+    iext_bytes = points.n_pad * (R8 + 8) * points.d
+    fused_ok = (
+        fused_env == "1"
+        or (fused_env == "auto" and jax.default_backend() == "tpu"
+            and iext_bytes <= (6 << 30))
+    ) and points.data.dtype == jnp.int8 and points.d >= R8
+    _iext_jit = _build_inline_ext_lazy() if fused_ok else None
     for p in range(bp.num_passes):
         alpha = bp.alpha if p == bp.num_passes - 1 else 1.0
         order = rng.permutation(n).astype(np.int32)
@@ -498,11 +558,21 @@ def build_vamana_graph(
                 inline_ok and cand_mode != "exact"
                 and (hi - lo) >= max(max_batch, inline_min_w)
             )
+            use_fused_batch = (
+                fused_ok and cand_mode != "exact" and not bp.single_batch
+                and (hi - lo) >= max(max_batch, 4096)
+            )
             def read_phase(nbrs, degs, batch_j):
                 if cand_mode == "exact":
                     out = _exact_phase(
                         nbrs, degs, points.data, batch_j, inserted, start,
                         samples,
+                        R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
+                    )
+                elif use_fused_batch:
+                    iext = _iext_jit(points.data, nbrs, degs)
+                    out = _fused_read_phase(
+                        nbrs, degs, points.data, batch_j, start, iext,
                         R=R, L=L, vmax=vmax, metric=points.metric, n_valid=n,
                     )
                 else:

@@ -788,3 +788,126 @@ def beam_search_fused(
         jax.lax.shift_right_logical(bpack[:, :L], 1), -1
     )
     return (out_ids[:B0], bdist[:B0, :L], nv[:B0, 0], cmps[:B0, 0], n_left)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "n_valid", "L", "vmax", "block_b", "G",
+                     "n_buf"),
+)
+def build_beam_fused(
+    queries,  # (B, d) f32 values already in the tier's domain
+    tier_data,  # (n_pad, d) int8 tier (start distances)
+    inline_ext,  # (n_pad, R8 + 8, d) int8 (build_inline_ext)
+    starts,  # (S,) or (B, S) int32
+    *,
+    metric: Metric,
+    n_valid: int,
+    L: int,
+    vmax: int,
+    block_b: int = 512,
+    G: int = 16,
+    n_buf: int = 8,
+):
+    """Insertion-search read phase for graph builds, on the fused kernel.
+
+    Runs EXACTLY ``vmax`` single-expansion steps with k=0 (no cut rule —
+    the reference's insertion search, vamana/index.h:251-262) and stacks
+    each step's expanded vertex id with its beam distance: that sequence
+    IS the visited list robustPrune consumes, so no in-kernel recording
+    is needed — ``fused_step`` already returns the next expansion id.
+    Rows that converge early freeze (exp id -1) and emit (-1, INF); a
+    fully-frozen kernel block skips to pass-through, so the fixed step
+    count costs the tail only block I/O.
+
+    Returns (visited_ids (B, vmax) int32 -1-padded in expansion order,
+    visited_dists (B, vmax) f32 INF-padded, num_visited (B,),
+    dist_cmps (B,)).
+    """
+    B0, d = queries.shape
+    R8 = inline_ext.shape[1] - 8
+    Rp = _pow2(R8)
+    Wb = _pow2(max(L, 8))
+    limit = min(vmax, n_valid)
+
+    if starts.ndim == 1:
+        starts = jnp.broadcast_to(starts[None, :], (B0, starts.shape[0]))
+    S = starts.shape[1]
+    assert S <= Wb, f"start width {S} > beam lanes {Wb}"
+
+    # pad the batch to a block multiple (garbage tail rows would feed
+    # DMA addresses); padded rows have no valid start -> frozen
+    block_b = max(G, min(block_b, ((B0 + G - 1) // G) * G))
+    block_b = _auto_block(block_b, G, Wb, Rp)
+    B = ((B0 + block_b - 1) // block_b) * block_b
+    if B != B0:
+        queries = jnp.pad(queries, ((0, B - B0), (0, 0)))
+        starts = jnp.pad(starts, ((0, B - B0), (0, 0)), constant_values=-1)
+
+    # ---- seed the beam (same layout as beam_search_fused) ----
+    sv = (starts >= 0) & (starts < n_valid)
+    svecs = jnp.take(
+        tier_data, jnp.clip(starts, 0, tier_data.shape[0] - 1), axis=0
+    ).astype(jnp.float32)
+    qf = queries.astype(jnp.float32)
+    if metric is Metric.MIPS:
+        sd = -jnp.sum(svecs * qf[:, None, :], axis=2)
+    else:
+        diff = svecs - qf[:, None, :]
+        sd = jnp.sum(diff * diff, axis=2)
+    sd = jnp.where(sv, sd, _INF)
+    sids = jnp.where(
+        sv, starts, n_valid + jnp.arange(S, dtype=jnp.int32)[None, :]
+    )
+    lane = jnp.arange(Wb, dtype=jnp.int32)[None, :]
+    bdist = jnp.concatenate([sd, jnp.full((B, Wb - S), _INF)], axis=1)
+    sent = (n_valid + S + lane[:, : Wb - S]) * 2 + 1
+    bpack = jnp.concatenate(
+        [sids * 2 + 1, jnp.broadcast_to(sent, (B, Wb - S))], axis=1
+    )
+    bdist, bpack = jax.lax.sort((bdist, bpack), num_keys=1, is_stable=True)
+    bid0 = jax.lax.shift_right_logical(bpack, 1)
+    dup0 = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), bid0[:, 1:] == bid0[:, :-1]], axis=1
+    )
+    bdist = jnp.where(dup0, _INF, bdist)
+    bdist, bpack = jax.lax.sort((bdist, bpack), num_keys=1, is_stable=True)
+    bdist = jnp.where(lane < L, bdist, _INF)
+    bpack = jnp.where(lane < L, bpack, (n_valid + Wb + lane) * 2 + 1)
+
+    nv = jnp.zeros((B, 1), jnp.int32)
+    cmps = jnp.sum(sv, axis=1, dtype=jnp.int32).reshape(B, 1)
+
+    # first expansion: nearest unexpanded (k=0 -> no cut filter)
+    unexp = ((bpack & 1) == 1) & (bdist < _INF) & (lane < L)
+    first = jnp.argmax(unexp, axis=1)
+    any_w = jnp.any(unexp, axis=1)
+    eid = jnp.take_along_axis(
+        jax.lax.shift_right_logical(bpack, 1), first[:, None], axis=1
+    )[:, 0]
+    exp_ids = jnp.where(any_w, eid, -1).astype(jnp.int32)
+    bpack = bpack - ((lane == first[:, None]) & any_w[:, None]).astype(
+        jnp.int32
+    )
+
+    step = functools.partial(
+        fused_step, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=0, n_valid=n_valid,
+        metric=metric, cut=0.0, limit=limit, block_b=block_b, G=G,
+        n_buf=n_buf,
+    )
+
+    def body(carry, _):
+        e, bd, bp, nvv, cm = carry
+        # the vertex being expanded sits in the beam (its bit was just
+        # flipped); read its distance out before the step overwrites state
+        bid = jax.lax.shift_right_logical(bp, 1)
+        ed = jnp.min(jnp.where(bid == e[:, None], bd, _INF), axis=1)
+        bd, bp, nvv, cm, nxt = step(e, qf, bd, bp, nvv, cm, inline_ext)
+        return (nxt[:, 0], bd, bp, nvv, cm), (e, ed)
+
+    (exp_ids, bdist, bpack, nv, cmps), (vis_ids, vis_d) = jax.lax.scan(
+        body, (exp_ids, bdist, bpack, nv, cmps), None, length=vmax
+    )
+    vis_ids = vis_ids.T  # (vmax, B) -> (B, vmax), expansion order
+    vis_d = jnp.where(vis_ids >= 0, vis_d.T, _INF)
+    return vis_ids[:B0], vis_d[:B0], nv[:B0, 0], cmps[:B0, 0]

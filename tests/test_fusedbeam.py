@@ -165,3 +165,52 @@ def test_fused_beam_odd_batch(rng):
         np.testing.assert_array_equal(
             np.asarray(part), np.asarray(full)[:B]
         )
+
+
+def test_build_beam_fused_matches_hybrid_visited(rng):
+    """The build read phase (k=0, fixed vmax budget): the fused driver's
+    stacked expansion sequence equals the XLA recorder's visited list
+    (as (dist, id) sets — tie order may differ between the kernel's
+    bitonic and XLA's stable sort)."""
+    from parlayann_tpu.ops.pallas.fusedbeam import build_beam_fused
+
+    n, d, R, B, L = 400, 128, 16, 32, 16
+    vmax = 24
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    ps = PointSet.from_numpy(X)
+    qps = quantize.quantize_pointset(ps, bits=8)
+    nbrs = np.empty((n, R), np.int32)
+    for i in range(n):
+        nbrs[i] = rng.choice(n, R, replace=False)
+    nbrs = jnp.asarray(nbrs)
+    degs = jnp.asarray(rng.integers(4, R + 1, (n,)).astype(np.int32))
+    Qf = rng.standard_normal((B, d)).astype(np.float32)
+    q_t = quantize.translate_query(jnp.asarray(Qf), qps).astype(jnp.float32)
+    starts = jnp.zeros((1,), jnp.int32)
+
+    ref = beam_search_batch(
+        q_t, qps.data, nbrs, degs, starts,
+        metric=Metric.L2, n_valid=n, k=0, L=L, limit=vmax,
+        expand=1, record_visited=True, use_inline=False,
+    )
+    inline_ext = build_inline_ext(qps.data, nbrs, degs)
+    vis_ids, vis_d, nv, cmps = build_beam_fused(
+        q_t, qps.data, inline_ext, starts,
+        metric=Metric.L2, n_valid=n, L=L, vmax=vmax, G=8, block_b=32,
+    )
+    vis_ids, vis_d = np.asarray(vis_ids), np.asarray(vis_d)
+    rid = np.asarray(ref.visited_ids)
+    rd = np.asarray(ref.visited_dists)
+    big = 1e37
+    np.testing.assert_array_equal(np.asarray(ref.num_visited),
+                                  np.asarray(nv))
+    for b in range(B):
+        rset = sorted(
+            (round(float(rd[b, i]), 3), int(rid[b, i]))
+            for i in range(rid.shape[1]) if rd[b, i] < big
+        )
+        fset = sorted(
+            (round(float(vis_d[b, i]), 3), int(vis_ids[b, i]))
+            for i in range(vis_ids.shape[1]) if vis_ids[b, i] >= 0
+        )
+        assert rset == fset, b
