@@ -106,11 +106,37 @@ def _pad_rows(data_f32, n: int, n_pad: int) -> jax.Array:
     return _slice_pad_jit(data_f32, n=n, n_pad=n_pad)
 
 
+def _pad_to_step(data_f32, n: int, step: int):
+    """-> (padded view, n_pad): rows = a multiple of ``step`` covering n.
+    Reuses the input buffer (with its LARGER row count) when it already
+    qualifies: a ``[:n_pad]`` jnp slice ALLOCATES — at 10M the slice was
+    a 4.8 GiB device copy living alongside its source for the whole
+    build, and the respill stage OOM'd on the lost headroom. Extra pad
+    rows are masked/discarded by every caller (2% extra scan compute at
+    worst)."""
+    data_f32 = jnp.asarray(data_f32)
+    rows = data_f32.shape[0]
+    n_pad = -(-n // step) * step
+    if rows >= n_pad and rows % step == 0:
+        return data_f32, rows
+    return _pad_rows(data_f32, n, n_pad), n_pad
+
+
+def _hbm_log(tag: str) -> None:
+    """Best-effort device-memory print (verbose builds; None off-TPU)."""
+    try:
+        s = jax.local_devices()[0].memory_stats() or {}
+        print(f"[hbm {tag}] {s['bytes_in_use'] / 2**30:.2f} GiB in use "
+              f"(peak {s.get('peak_bytes_in_use', 0) / 2**30:.2f})",
+              flush=True)
+    except Exception:
+        pass
+
+
 def _assign_all(data_f32, n, cents, C, k, metric, step=0):
     """Nearest-k centroids per point -> (ids (n, k), dists (n, k)) numpy."""
     step = step or _kmeans_chunk_for(cents.shape[0])
-    n_pad = -(-n // step) * step
-    data_pad = _pad_rows(data_f32, n, n_pad)
+    data_pad, n_pad = _pad_to_step(data_f32, n, step)
     ids, ds = _assign_all_jit(
         data_pad, cents, C=C, k=k, metric=metric, n=n, step=step,
     )
@@ -203,8 +229,7 @@ def approx_assign(data_f32, n, cents, C, k, metric, *, P=2, meta_m=96,
         cents, C, metric, meta_m=meta_m, seed=seed,
     )
     step = _kmeans_chunk_for(blocks.shape[0])
-    n_pad = -(-n // step) * step
-    data_pad = _pad_rows(data_f32, n, n_pad)
+    data_pad, n_pad = _pad_to_step(data_f32, n, step)
     ids, ds = _approx_assign_jit(
         data_pad, mcents, blocks, idtab, k=k, P=P, metric=metric, step=step,
     )
@@ -609,10 +634,10 @@ class ClusterIndex:
         # (each callee padding its own copy put 3x 4.8 GiB of data in
         # HBM at 10M and crashed the worker); f32 input of the right
         # shape is used as-is
-        data = _pad_rows(
+        data, _ = _pad_to_step(
             points.data if points.data.dtype == jnp.float32
             else points.data[:n].astype(jnp.float32),
-            n, -(-n // step) * step,
+            n, step,
         )
         # the PARTITION is always L2 (clustering by inner product is
         # degenerate — every point gravitates to the largest-norm
@@ -671,6 +696,7 @@ class ClusterIndex:
                           f"{_time.perf_counter() - t0:.1f}s "
                           f"spilled {spilled} ({spilled / n:.3f})",
                           flush=True)
+                    _hbm_log(f"hier round {r + 1}")
             # final assignment at the TRUE capacity m, against the
             # settled centroids (mirrors the exact path: kmeans then one
             # balance), then relocate any spill into nearest-with-space
@@ -683,12 +709,15 @@ class ClusterIndex:
                 seed=seed + rounds,
             )
             members = balance_assign(nbr_ids, nbr_d, C, m)
+            if verbose:
+                _hbm_log("pre-respill")
             members = _respill_local(data, n, members, nbr_ids, cents,
                                      C, m, cmetric, verbose=verbose)
             cents = _recenter(data, members, C)
             if verbose:
                 print(f"hier final: {_time.perf_counter() - t0:.1f}s",
                       flush=True)
+                _hbm_log("hier final")
             del nbr_ids, nbr_d
         else:
             cents = kmeans(data, n, C, metric=cmetric, iters=iters,

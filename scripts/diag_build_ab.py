@@ -58,12 +58,15 @@ def main():
         "VARIANTS", "0.04:2,0.08:2,0.12:2,0.08:4")
     Qd = jnp.asarray(Q)
     for item in spec.split(","):
-        # cap:expand[:vmax[:passes[:L]]] — vmax "0"/"" = default
+        # cap:expand[:vmax[:passes[:L[:fused]]]] — vmax "0"/"" = default;
+        # fused=1 routes the read phase through build_beam_fused
         parts = item.split(":")
         cap_s, exp_s = parts[0], parts[1]
         cap, expv = float(cap_s), int(exp_s)
         passes = int(parts[3]) if len(parts) > 3 else 2
         L = int(parts[4]) if len(parts) > 4 else 64
+        os.environ["PARLAYANN_BUILD_FUSED"] = (
+            parts[5] if len(parts) > 5 else "0")
         bp = BuildParams(R=32, L=L, alpha=1.2, num_passes=passes,
                          batch_cap_frac=cap)
         os.environ["PARLAYANN_BUILD_EXPAND"] = str(expv)
@@ -90,7 +93,9 @@ def main():
             rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, k)
             row.append(f"Q={beam}: {rec:.4f}@{nq/dt:,.0f}")
         vm = os.environ.get("PARLAYANN_BUILD_VMAX", "default")
-        print(f"cap={cap} expand={expv} vmax={vm} passes={passes} L={L}: "
+        fz = os.environ.get("PARLAYANN_BUILD_FUSED", "0")
+        print(f"cap={cap} expand={expv} vmax={vm} passes={passes} L={L} "
+              f"fused={fz}: "
               f"cold={cold:.1f}s steady={steady:.2f}s deg={avg:.2f}  "
               + "  ".join(row), flush=True)
 
