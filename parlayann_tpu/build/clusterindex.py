@@ -405,14 +405,25 @@ def _respill_local(data_f32, n, members, nbr_ids, cents, C, m, metric,
         free = np.flatnonzero(fill < m).astype(np.int32)
         kk = int(min(k, len(free)))
         sub = jnp.take(cents, jnp.asarray(free), axis=0)
-        pvec = jnp.take(data_f32, jnp.asarray(pending, dtype=np.int32),
-                        axis=0)
-        if float(len(pending)) * len(free) > 4e10:
-            ids, d = approx_assign(pvec, len(pending), sub, len(free),
-                                   kk, metric, seed=it)
-        else:
-            ids, d = _assign_all(pvec, len(pending), sub, len(free), kk,
-                                 metric)
+        # chunk the pending gather+assign: at 10M-scale spills (millions
+        # of points) an unchunked pvec plus its step-padded copy is
+        # multiple GiB of transient HBM on top of the data itself
+        ch = 1 << 21
+        ids_l, d_l = [], []
+        for off in range(0, len(pending), ch):
+            pc = pending[off:off + ch]
+            pvec = jnp.take(data_f32, jnp.asarray(pc, dtype=np.int32),
+                            axis=0)
+            if float(len(pc)) * len(free) > 4e10:
+                i_, d_ = approx_assign(pvec, len(pc), sub, len(free),
+                                       kk, metric, seed=it)
+            else:
+                i_, d_ = _assign_all(pvec, len(pc), sub, len(free), kk,
+                                     metric)
+            ids_l.append(i_)
+            d_l.append(d_)
+        ids = np.concatenate(ids_l)
+        d = np.concatenate(d_l)
         gids = free[np.clip(ids, 0, len(free) - 1)]
         gids = np.where(ids >= 0, gids, -1).astype(np.int64)
         order = np.argsort(d[:, 0], kind="stable")

@@ -60,7 +60,11 @@ def main():
     log(f"devices: {jax.devices()}")
 
     # ---- on-device clustered data: centers + per-chunk assignment ----
-    gchunk = min(250_000, n)
+    # 2^18 rows/chunk: the generated buffer's row count stays a multiple
+    # of the cluster build's 16384-row assignment step, so the build can
+    # use it as its padded working copy directly (a step-misaligned row
+    # count costs a second 4.8 GiB padded copy at 10M — the OOM margin)
+    gchunk = min(1 << 18, n)
     n_pad = -(-n // gchunk) * gchunk
 
     @partial(jax.jit, static_argnames=("rows", "nc"))
@@ -100,7 +104,7 @@ def main():
     os.makedirs(cdir, exist_ok=True)
     # distinct key from bench.py's gt_* caches: this script's dataset is
     # device-generated (different RNG family at the same (n, d, nq))
-    gtpath = os.path.join(cdir, f"gtdev_{n}x{d}_{nq}.npz")
+    gtpath = os.path.join(cdir, f"gtdev_{n}x{d}_{nq}_g{gchunk}.npz")
     if os.path.exists(gtpath):
         z = np.load(gtpath)
         gt_ids, gt_dists = z["ids"], z["dists"]
