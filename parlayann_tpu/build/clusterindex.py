@@ -682,13 +682,27 @@ class ClusterIndex:
             # members table stays the gather machinery.
             m_round = m * int(_os.environ.get("PARLAYANN_HIER_ROUND_CAP",
                                               "4"))
+            # Capacity TAPER: the last round balances near the true m.
+            # A relaxed (4m) cap everywhere lets one centroid hoard up
+            # to 4m points of a dense region and recenter on them; the
+            # final m-cap balance then keeps m and spills the rest to
+            # arbitrary free clusters (measured 60% spill -> recall
+            # flat at .65 on 10M, bench_10m log 2026-08-20). Shaping
+            # the LAST round at ~1.5m spreads hoarded mass to its
+            # next-nearest candidates so the recentered geometry
+            # matches the capacity the final balance actually has.
+            shape_mult = float(_os.environ.get(
+                "PARLAYANN_HIER_SHAPE_CAP", "1.5"))
+            caps = [m_round] * rounds
+            if rounds > 1 and shape_mult > 0:
+                caps[-1] = max(m, int(m * shape_mult))
             for r in range(rounds):
                 t0 = _time.perf_counter()
                 nbr_ids, nbr_d = approx_assign(
                     data, n, cents, C, cand, cmetric, P=P, meta_m=meta_m,
                     seed=seed + r,
                 )
-                members = balance_assign(nbr_ids, nbr_d, C, m_round)
+                members = balance_assign(nbr_ids, nbr_d, C, caps[r])
                 # recenter on LOCAL members only: spill-placed points
                 # (balance ran out of capacity in all their candidate
                 # clusters) land arbitrarily far away and would drag the
