@@ -113,7 +113,13 @@ def _pad_to_step(data_f32, n: int, step: int):
     a 4.8 GiB device copy living alongside its source for the whole
     build, and the respill stage OOM'd on the lost headroom. Extra pad
     rows are masked/discarded by every caller (2% extra scan compute at
-    worst)."""
+    worst).
+
+    CONTRACT: rows in [n, rows) of the returned buffer are LIVE
+    IN-DISTRIBUTION GARBAGE (the reuse path keeps whatever the caller's
+    buffer held there; `_pad_rows` zeros only what it itself pads), so
+    every consumer MUST mask by row index (the `valid = base + row0 < n`
+    term in `_kmeans_jit`) — never reduce over the buffer unmasked."""
     data_f32 = jnp.asarray(data_f32)
     rows = data_f32.shape[0]
     n_pad = -(-n // step) * step
@@ -220,13 +226,15 @@ def _approx_assign_jit(data_pad, mcents, blocks, idtab, *, k, P, metric,
 
 
 def approx_assign(data_f32, n, cents, C, k, metric, *, P=2, meta_m=96,
-                  seed=0):
+                  seed=0, quantizer=None):
     """Hierarchical nearest-k centroids -> (ids (n, k), dists (n, k)).
     Same contract as ``_assign_all`` (exact squared L2 against the true
     centroids — only the CANDIDATE SET is meta-restricted to the point's
-    top-P cells)."""
-    mcents, blocks, idtab = _meta_quantizer(
-        cents, C, metric, meta_m=meta_m, seed=seed,
+    top-P cells). ``quantizer``: a precomputed ``_meta_quantizer`` result
+    (mcents, blocks, idtab) — pass it when assigning many chunks against
+    the SAME centroids so the meta k-means runs once, not per chunk."""
+    mcents, blocks, idtab = quantizer if quantizer is not None else (
+        _meta_quantizer(cents, C, metric, meta_m=meta_m, seed=seed)
     )
     step = _kmeans_chunk_for(blocks.shape[0])
     data_pad, n_pad = _pad_to_step(data_f32, n, step)
@@ -409,14 +417,20 @@ def _respill_local(data_f32, n, members, nbr_ids, cents, C, m, metric,
         # of points) an unchunked pvec plus its step-padded copy is
         # multiple GiB of transient HBM on top of the data itself
         ch = 1 << 21
+        # (sub, free) are fixed for the whole pass: build the meta
+        # quantizer ONCE, not per chunk (the per-chunk rebuild reran
+        # exact kmeans over up to ~234K free centroids every 2M points)
+        quant = (_meta_quantizer(sub, len(free), metric, seed=it)
+                 if float(min(ch, len(pending))) * len(free) > 4e10
+                 else None)
         ids_l, d_l = [], []
         for off in range(0, len(pending), ch):
             pc = pending[off:off + ch]
             pvec = jnp.take(data_f32, jnp.asarray(pc, dtype=np.int32),
                             axis=0)
-            if float(len(pc)) * len(free) > 4e10:
+            if quant is not None and float(len(pc)) * len(free) > 4e10:
                 i_, d_ = approx_assign(pvec, len(pc), sub, len(free),
-                                       kk, metric, seed=it)
+                                       kk, metric, seed=it, quantizer=quant)
             else:
                 i_, d_ = _assign_all(pvec, len(pc), sub, len(free), kk,
                                      metric)
@@ -600,6 +614,9 @@ class ClusterIndex:
     m: int
     Rc: int
     ext_dtype: str = "int8"
+    # (mcents, blocks, idtab) in the ext/tier domain — the meta-routed
+    # query seed for large C (built by _finish past the argmin cutoff)
+    seed_meta: Optional[tuple] = None
 
     @staticmethod
     def build(points: PointSet, *, m: int = 64, Rc: int = 16,
@@ -695,7 +712,15 @@ class ClusterIndex:
                 "PARLAYANN_HIER_SHAPE_CAP", "1.5"))
             caps = [m_round] * rounds
             if rounds > 1 and shape_mult > 0:
-                caps[-1] = max(m, int(m * shape_mult))
+                # clamp: the taper must never RAISE the cap (with
+                # ROUND_CAP=1, 1.5m would exceed m_round = m)
+                caps[-1] = min(m_round, max(m, int(m * shape_mult)))
+            elif rounds == 1 and shape_mult > 0:
+                import warnings
+                warnings.warn(
+                    "PARLAYANN_HIER_ROUNDS=1 gets no capacity taper; "
+                    "single-round hier builds risk the measured 60%-spill "
+                    "coverage collapse (use rounds >= 2)")
             for r in range(rounds):
                 t0 = _time.perf_counter()
                 nbr_ids, nbr_d = approx_assign(
@@ -785,17 +810,33 @@ class ClusterIndex:
             f32_bytes = (-(-C // 8) * 8) * (m + Rc + 2) * d * 4
             ext_dtype = ("f32" if n < (1 << 24) and f32_bytes <= 6 << 30
                          else "int8")
+
+        def seed_quantizer(cents_tier_f32):
+            # past the argmin cutoff (clusterbeam: (B, C) tile + argmin
+            # passes) the query seed needs a coarse router too: cluster
+            # the TIER-DOMAIN centroids once at build so every search
+            # scans ~C/96 meta-centroids + top-P cell blocks instead of
+            # streaming all C (measured 10M ceiling: ~21K QPS
+            # probe-independent). L2 partition, same as the build's.
+            from parlayann_tpu.ops.pallas import clusterbeam as _cb
+
+            if C <= _cb.ARGMIN_SEED_CUTOFF:
+                return None
+            return _meta_quantizer(cents_tier_f32, C, Metric.L2,
+                                   seed=1009)
+
         if ext_dtype == "f32":
             data = points.data[:n].astype(jnp.float32)
             ext = build_cluster_ext_f32(data, members, adj, cents)
             C_pad = ext.shape[0]
             cf = cents.astype(jnp.float32)
+            sm = seed_quantizer(cf[:C])
             if cf.shape[0] != C_pad:
                 cf = jnp.pad(cf, ((0, C_pad - cf.shape[0]), (0, 0)))
             return ClusterIndex(
                 points=points, qpoints=None, centroids_q=cf,
                 members=members, adj=adj, ext=ext, C=C, m=m, Rc=Rc,
-                ext_dtype="f32",
+                ext_dtype="f32", seed_meta=sm,
             )
         qps = quantize.quantize_pointset(points, bits=8)
         cq = quantize.euclidean_translate(
@@ -805,13 +846,14 @@ class ClusterIndex:
         )
         ext = build_cluster_ext(qps.data, members, adj, cq)
         C_pad = ext.shape[0]
+        sm = seed_quantizer(cq[:C].astype(jnp.float32))
         if cq.shape[0] != C_pad:
             cq = jnp.pad(cq.astype(jnp.int8),
                          ((0, C_pad - cq.shape[0]), (0, 0)))
         return ClusterIndex(
             points=points, qpoints=qps, centroids_q=cq.astype(jnp.int8),
             members=members, adj=adj, ext=ext, C=C, m=m, Rc=Rc,
-            ext_dtype="int8",
+            ext_dtype="int8", seed_meta=sm,
         )
 
     def save(self, path: str) -> None:
@@ -894,9 +936,12 @@ class ClusterIndex:
         slope = self.qpoints.quant_slope if self.qpoints else None
         offset = self.qpoints.quant_offset if self.qpoints else None
         bits = self.qpoints.bits if self.qpoints else 32
+        mc, mb, mi = self.seed_meta or (None, None, None)
+        if seed_mode == "stream":
+            mc = mb = mi = None
         return cluster_search_fused(
             q_full, self.centroids_q, self.ext, self.points.data,
-            slope, offset,
+            slope, offset, mc, mb, mi,
             metric=self.points.metric, C=self.C, m=self.m, Rc=self.Rc,
             n_points=self.points.n, k=k, n_probe=n_probe,
             min_probe=min_probe, cut=cut, S=starts, pool=pool,

@@ -53,6 +53,11 @@ _INF = float(INF)
 
 from parlayann_tpu.utils.arrays import pow2 as _pow2
 
+# past this many centroid rows the one-tile (B, C) argmin seed stops
+# paying (the tile is GBs at C ~ 200K); large-C indexes carry a
+# meta-routed seed instead (ClusterIndex.seed_meta)
+ARGMIN_SEED_CUTOFF = 32768
+
 
 def _auto_block_cluster(block_b, G, m, M, Wc):
     """Shrink block_b until phase B's intermediates fit the 16 MiB
@@ -409,7 +414,7 @@ def cluster_step(
     static_argnames=("metric", "C", "m", "Rc", "n_points", "k", "n_probe",
                      "cut", "S", "pool", "tier_bits", "Lc", "M", "block_b",
                      "G", "n_buf", "rerank", "min_probe", "seed_mode",
-                     "select_mode"),
+                     "select_mode", "seed_probes"),
 )
 def cluster_search_fused(
     q_full,  # (B, d) raw f32 queries
@@ -417,6 +422,9 @@ def cluster_search_fused(
     ext,  # (C_pad, m + Rc + 8, d) int8
     points_full,  # (n_pad, d) full precision (rerank)
     slope, offset,  # q8 domain params
+    meta_cents=None,  # (Cm, d) f32 — meta-seed coarse centroids
+    meta_blocks=None,  # (Cm, cap, d) f32 — per-cell centroid blocks
+    meta_idtab=None,  # (Cm, cap) int32 — per-cell centroid ids
     *,
     metric: Metric,
     C: int,
@@ -438,6 +446,7 @@ def cluster_search_fused(
     rerank: str = "full",
     seed_mode: str = "argmin",
     select_mode: str = "sort",
+    seed_probes: int = 4,
 ):
     """Single-dispatch cluster search -> (ids (B,k), dists (B,k),
     (n_probes (B,), dist_cmps (B,))). Distances are full-precision with
@@ -482,7 +491,7 @@ def cluster_search_fused(
     # ---- seed: exact top-S centroids, in the same distance domain the
     # kernel's phase A computes (true squared distances / neg-dots) ----
     Cp_rows = centroids_q.shape[0]
-    if seed_mode == "argmin" and S <= 4 and Cp_rows <= 32768:
+    if seed_mode == "argmin" and S <= 4 and Cp_rows <= ARGMIN_SEED_CUTOFF:
         # small C: one (B, C) MXU tile + S exact argmin passes. Pure
         # reductions — the streamed top-k path's per-group lane SORTS were
         # most of the search's fixed (probe-independent) cost at B=10K
@@ -510,6 +519,38 @@ def cluster_search_fused(
         if metric is not Metric.MIPS:
             qn = jnp.sum(q * q, axis=1, keepdims=True)
             sd = jnp.where(sd < _INF, jnp.maximum(sd + qn, 0.0), _INF)
+    elif meta_cents is not None and seed_mode in ("argmin", "meta"):
+        # big C, meta-routed: scan the ~C/96 meta-centroids (one small
+        # MXU tile), DMA only the top-P cells' packed centroid blocks
+        # (ops/pallas/expand.py — one descriptor per cell), take the
+        # exact top-S within them. The streamed exact scan at C=234K was
+        # the 10M QPS ceiling (~21K QPS probe-independent: its per-group
+        # lane sorts dominate); this is ~C/(P*cap) times less select
+        # work at a small top-P coverage risk the beam's Rc-adjacency
+        # navigation absorbs. Same approximation family as the build's
+        # approx_assign (clusterindex.py).
+        from parlayann_tpu.ops.pallas.expand import expand_distances
+        from parlayann_tpu.search.flat import _select_sort, \
+            flat_search_batch
+
+        Cm, cap, _ = meta_blocks.shape
+        P = max(1, min(seed_probes, Cm))
+        mt_i, _ = flat_search_batch(
+            q, meta_cents, k=P, metric=metric, n_valid=Cm,
+            chunk=min(meta_cents.shape[0], 32768), select="sort",
+        )
+        ds_l, id_l = [], []
+        for p in range(P):
+            mi = jnp.clip(mt_i[:, p], 0, Cm - 1)
+            dp = expand_distances(meta_blocks, mi, q, metric=metric,
+                                  block_b=256, group=4)
+            ip = jnp.take(meta_idtab, mi, axis=0)
+            dp = jnp.where((ip >= 0) & (mt_i[:, p:p + 1] >= 0), dp, _INF)
+            ds_l.append(dp)
+            id_l.append(jnp.where(ip >= 0, ip, -1))
+        sd, sids = _select_sort(
+            jnp.concatenate(ds_l, axis=1), jnp.concatenate(id_l, axis=1), S
+        )  # (B, S) ascending, true-metric domain (expand == phase A)
     else:
         # big C (10M-scale: C ~ 200K): streamed top-k, the (B, C_pad)
         # tile never materializes (would be ~8 GB)
