@@ -114,6 +114,141 @@ def _cluster_section(ps, Q, gt_ids, gt_dists, k, nq, rounds, log):
     return cluster, cbest, cb_m
 
 
+def _find_real_dataset():
+    """Auto-detect a real ANN benchmark on disk -> (base, queries,
+    gt_ids or None, name) or None. Looked for (BENCH_DATA_DIR first):
+    big-ann .fbin/.u8bin triples and TEXMEX .fvecs/.bvecs layouts —
+    readers in data/io.py. No network egress exists here, but a machine
+    with real SIFT/BIGANN files gets the dataset-honest headline
+    automatically (VERDICT r3 #4)."""
+    import glob
+
+    roots = [os.environ.get("BENCH_DATA_DIR", "")]
+    roots += ["/root/data", "/root/datasets", "./data",
+              os.path.join(os.path.dirname(__file__), "bench_cache")]
+    pats = [
+        ("{r}/sift/sift_base.fvecs", "{r}/sift/sift_query.fvecs",
+         "{r}/sift/sift_groundtruth.ivecs", "sift1m"),
+        ("{r}/sift*base*.fvecs", "{r}/sift*query*.fvecs", None, "sift"),
+        ("{r}/*base*.fbin", "{r}/*query*.fbin", None, "fbin"),
+        ("{r}/*base*.u8bin", "{r}/*query*.u8bin", None, "u8bin"),
+    ]
+    for r in roots:
+        if not r or not os.path.isdir(r):
+            continue
+        for bpat, qpat, gpat, name in pats:
+            bs = sorted(glob.glob(bpat.format(r=r)))
+            qs = sorted(glob.glob(qpat.format(r=r)))
+            if not bs or not qs:
+                continue
+            from parlayann_tpu.data import io as pio
+
+            X = pio.read_vecs(bs[0]) if bs[0].endswith("vecs") else \
+                pio.read_bin(bs[0], dtype=pio.infer_bin_dtype(bs[0]))
+            Q = pio.read_vecs(qs[0]) if qs[0].endswith("vecs") else \
+                pio.read_bin(qs[0], dtype=pio.infer_bin_dtype(qs[0]))
+            gt = None
+            if gpat:
+                gs = sorted(glob.glob(gpat.format(r=r)))
+                if gs:
+                    gt = pio.read_vecs(gs[0])
+            return X, Q, gt, name
+    return None
+
+
+def _hard_section(k, nq, rounds, log):
+    """Dataset-honest extras (VERDICT r3 #4): uniform + heavy-tailed
+    100K distributions, BOTH index families swept on each. On uniform
+    data the IVF-family path degrades by design (clusterindex.py
+    docstring) and the GRAPH path carries the result — reporting both
+    keeps the headline honest about distribution sensitivity."""
+    import jax as _jax
+
+    from parlayann_tpu.types import BuildParams
+    from parlayann_tpu.data.pointset import PointSet
+    from parlayann_tpu.build.vamana import build_vamana_graph
+    from parlayann_tpu.build.clusterindex import ClusterIndex
+    from parlayann_tpu.index import Index
+    from parlayann_tpu.search import exact
+    from parlayann_tpu.harness.recall import compute_recall
+    from parlayann_tpu.ops import quantize
+    from parlayann_tpu.utils import synthetic
+
+    n = int(os.environ.get("BENCH_HARD_N", 100_000))
+    d = int(os.environ.get("BENCH_D", 128))
+    out = {}
+    cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_cache")
+    for name, gen in (("uniform", synthetic.uniform),
+                      ("heavy_tail", synthetic.heavy_tailed)):
+        X, Q = gen(n, d, n_queries=nq, seed=29)
+        ps = PointSet.from_numpy(X)
+        gtp = os.path.join(cdir, f"gt_{name}_{n}x{d}_{nq}.npz")
+        if os.path.exists(gtp):
+            z = np.load(gtp)
+            gt_i, gt_d = z["ids"], z["dists"]
+        else:
+            gt_i, gt_d = exact.compute_groundtruth(ps, Q, 2 * k)
+            gt_i, gt_d = np.asarray(gt_i), np.asarray(gt_d)
+            np.savez(gtp, ids=gt_i, dists=gt_d)
+        sec = {}
+        # graph path (r32 quickstart config, q8 tier)
+        bp = BuildParams(R=32, L=64, alpha=1.2, num_passes=2,
+                         batch_cap_frac=0.16)
+        bps = quantize.quantize_pointset(ps, bits=8)
+        t0 = time.perf_counter()
+        graph, _ = build_vamana_graph(bps, bp)
+        sec["vamana_build_s"] = round(time.perf_counter() - t0, 2)
+        idx = Index(points=ps, graph=graph).enable_quantized(bits=8)
+        vrows = []
+        vbest = (0, 0.0, 0.0)
+        for beam in (10, 15, 22, 33, 50, 75, 110, 160, 240, 350):
+            dt = float("inf")
+            ids = None
+            for _ in range(3):
+                ids, _d, _r, dt_i = idx.batch_search_timed(
+                    Q, k=k, beam_size=beam, rounds=rounds)
+                dt = min(dt, dt_i)
+            rec = compute_recall(np.asarray(ids), gt_i, gt_d, k)
+            qps = nq / dt
+            vrows.append((beam, round(rec, 4), round(qps, 1)))
+            log(f"  [hard:{name} vamana] Q={beam} recall={rec:.4f} "
+                f"QPS={qps:,.0f}")
+            if rec >= 0.95 and qps > vbest[2]:
+                vbest = (beam, rec, qps)
+            if rec > 0.995:
+                break
+        sec["vamana_sweep"] = vrows
+        sec["vamana_best95"] = [vbest[0], round(vbest[1], 4),
+                                round(vbest[2], 1)]
+        # cluster path (documented to degrade on uniform — report it)
+        try:
+            t0 = time.perf_counter()
+            ci = ClusterIndex.build(ps, m=64)
+            sec["cluster_build_s"] = round(time.perf_counter() - t0, 2)
+            Qd = _jax.device_put(np.asarray(Q))
+            Qd.block_until_ready()
+            crows = []
+            for npr in (4, 8, 16, 32):
+                dt = float("inf")
+                o = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _r in range(rounds):
+                        o = ci.search(Qd, k=k, n_probe=npr, cut=0.0)
+                    _ = np.asarray(o[0][:1])
+                    dt = min(dt, (time.perf_counter() - t0) / rounds)
+                rec = compute_recall(np.asarray(o[0]), gt_i, gt_d, k)
+                crows.append((npr, round(rec, 4), round(nq / dt, 1)))
+                log(f"  [hard:{name} cluster] probes={npr} "
+                    f"recall={rec:.4f} QPS={nq/dt:,.0f}")
+            sec["cluster_sweep"] = crows
+        except Exception as e:
+            sec["cluster_error"] = f"{type(e).__name__}: {e}"
+        out[name] = sec
+    return out
+
+
 def main():
     import jax
 
@@ -138,16 +273,33 @@ def main():
     k = 10
 
     log(f"devices: {jax.devices()}")
-    log(f"dataset: {n}x{d}, {nq} queries")
-    X, Q = synthetic.clustered(n, d, n_queries=nq, n_clusters=max(64, n // 100),
-                               cluster_std=0.35, seed=7)
-    ps = PointSet.from_numpy(X)
-
+    real = _find_real_dataset()
     cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_cache")
     os.makedirs(cdir, exist_ok=True)
-    gtpath = os.path.join(cdir, f"gt_{n}x{d}_{nq}.npz")
-    if os.path.exists(gtpath):
+    if real is not None:
+        X, Q, gt_pre, dataset = real
+        X = np.ascontiguousarray(X)
+        Q = np.ascontiguousarray(Q[:nq]).astype(np.float32)
+        n, d = X.shape
+        nq = len(Q)
+        log(f"dataset: {dataset} (REAL, {n}x{d}, {nq} queries)")
+        ps = PointSet.from_numpy(X)
+        gtpath = os.path.join(cdir, f"gt_{dataset}_{n}x{d}_{nq}.npz")
+    else:
+        dataset = "synth.clustered"
+        log(f"dataset: {dataset} {n}x{d}, {nq} queries")
+        X, Q = synthetic.clustered(n, d, n_queries=nq,
+                                   n_clusters=max(64, n // 100),
+                                   cluster_std=0.35, seed=7)
+        ps = PointSet.from_numpy(X)
+        gt_pre = None
+        gtpath = os.path.join(cdir, f"gt_{n}x{d}_{nq}.npz")
+    if gt_pre is not None:
+        gt_ids = np.asarray(gt_pre)[:nq, : 2 * k]
+        gt_dists = None  # tie-aware recall falls back to id matching
+        log("ground truth: from dataset file")
+    elif os.path.exists(gtpath):
         z = np.load(gtpath)
         gt_ids, gt_dists = z["ids"], z["dists"]
         log("ground truth: cached")
@@ -308,9 +460,18 @@ def main():
             log(f"cluster section failed: {type(e).__name__}: {e}")
             cluster = {"error": f"{type(e).__name__}: {e}"}
 
+    # dataset-honest extras: hard distributions, both index families
+    hard = {}
+    if os.environ.get("BENCH_HARD", "1") == "1" and real is None:
+        try:
+            hard = _hard_section(k, nq, rounds, log)
+        except Exception as e:
+            log(f"hard-distribution section failed: {type(e).__name__}: {e}")
+            hard = {"error": f"{type(e).__name__}: {e}"}
+
     baseline_qps = 1.15e6  # BASELINE.md: 72-core @ recall .958
     out = {
-        "metric": "vamana_qps_at_recall0.95_synth100k",
+        "metric": f"vamana_qps_at_recall0.95_{'real_' + dataset if real else 'synth100k'}",
         "value": round(best_qps, 1),
         "unit": "QPS/chip",
         "vs_baseline": round(best_qps / baseline_qps, 4),
@@ -332,6 +493,8 @@ def main():
             "sweep": [(b, round(r, 4), round(q, 1)) for b, r, q in results],
             "r64_config": r64,
             "cluster_config": cluster,
+            "dataset": dataset,
+            "hard_distributions": hard,
         },
     }
     print(json.dumps(out), flush=True)

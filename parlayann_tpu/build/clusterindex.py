@@ -470,6 +470,48 @@ def _respill_local(data_f32, n, members, nbr_ids, cents, C, m, metric,
     return members
 
 
+def _teleport_centroids(data_f32, cents, members: np.ndarray, C: int,
+                        m: int, *, rng) -> tuple[jax.Array, int]:
+    """Capacity-aware empty-cluster reseeding -> (cents, n_moved).
+
+    Donors: centroids holding < m/2 points after a relaxed-round balance
+    (their region has surplus coverage — remaining members re-assign to
+    neighboring centroids next round). Receivers: centroids holding
+    > m points — each requests ceil((fill - m)/m) extra centroids so its
+    catchment can be cut to <= m pieces by the final balance. A donated
+    centroid lands ON a random member point of its receiver (inside the
+    hot region; the next Lloyd round separates the pair locally).
+
+    This is k-means empty-cluster handling made capacity-aware: plain
+    Lloyd migration moves means by local gradients and cannot jump
+    between well-separated dense regions, so seed-starved regions stay
+    starved no matter how many rounds run (the 10M 62%-spill mode)."""
+    fill = (members >= 0).sum(axis=1).astype(np.int64)
+    excess = np.maximum(fill - m, 0)
+    need = -(-excess // m)  # extra centroids wanted per hot cluster
+    donors = np.flatnonzero(fill < m // 2)
+    if not len(donors) or not need.any():
+        return cents, 0
+    donors = donors[np.argsort(fill[donors], kind="stable")]
+    receivers = np.repeat(np.arange(C, dtype=np.int64), need)
+    # largest hot spots first
+    receivers = receivers[np.argsort(-excess[receivers], kind="stable")]
+    nmove = int(min(len(donors), len(receivers)))
+    recv = receivers[:nmove]
+    don = donors[:nmove].astype(np.int64)
+    slots = rng.integers(0, np.maximum(fill[recv], 1))
+    pts = members[recv, slots].astype(np.int64)
+    ok = pts >= 0
+    recv, don, pts = recv[ok], don[ok], pts[ok]
+    if not len(don):
+        return cents, 0
+    newv = jnp.take(data_f32, jnp.asarray(pts, dtype=jnp.int32), axis=0)
+    cents = jnp.asarray(cents).at[jnp.asarray(don, dtype=jnp.int32)].set(
+        newv
+    )
+    return cents, int(len(don))
+
+
 @partial(jax.jit, static_argnames=("block",))
 def _recenter_jit(data_f32, mm, *, block):
     n = data_f32.shape[0]
@@ -682,8 +724,10 @@ class ClusterIndex:
                 jnp.asarray(rng.choice(n, C, replace=False).astype(np.int32)),
                 axis=0,
             )
+            # 3 rounds default: relaxed -> teleport -> relaxed -> teleport
+            # -> shaped; the teleports need a following round to settle
             rounds = max(1, int(_os.environ.get("PARLAYANN_HIER_ROUNDS",
-                                                "2")))
+                                                "3")))
             P = int(_os.environ.get("PARLAYANN_HIER_P", "2"))
             # The LLOYD rounds must be (near-)unconstrained: the exact
             # path runs 6 free Lloyd iterations and balances ONCE at the
@@ -721,6 +765,8 @@ class ClusterIndex:
                     "PARLAYANN_HIER_ROUNDS=1 gets no capacity taper; "
                     "single-round hier builds risk the measured 60%-spill "
                     "coverage collapse (use rounds >= 2)")
+            teleport = _os.environ.get("PARLAYANN_HIER_TELEPORT",
+                                       "1") == "1"
             for r in range(rounds):
                 t0 = _time.perf_counter()
                 nbr_ids, nbr_d = approx_assign(
@@ -740,11 +786,27 @@ class ClusterIndex:
                 cents = jnp.where(
                     nonempty[:, None], _recenter(data, local, C), cents
                 )
+                moved = 0
+                if teleport and r < rounds - 1:
+                    # capacity-aware TELEPORT (empty-cluster reseeding):
+                    # Lloyd means cannot migrate between well-separated
+                    # dense regions, so seed-starved blobs stay starved
+                    # (measured 10M taper run 2026-08-20: final balance
+                    # still spilled 62% — random seeds give ~10% of the
+                    # 100-point natural clusters 0-1 of the ~2.3 needed
+                    # centroids). Move underfull centroids directly onto
+                    # members of overfull clusters; the next round's
+                    # assignment splits the hot region locally.
+                    cents, moved = _teleport_centroids(
+                        data, cents, members, C, m,
+                        rng=np.random.default_rng(seed + 7000 + r),
+                    )
                 if verbose:
                     spilled = int((members >= 0).sum() - (local >= 0).sum())
                     print(f"hier round {r + 1}/{rounds}: "
                           f"{_time.perf_counter() - t0:.1f}s "
-                          f"spilled {spilled} ({spilled / n:.3f})",
+                          f"spilled {spilled} ({spilled / n:.3f})"
+                          + (f" teleported {moved}" if moved else ""),
                           flush=True)
                     _hbm_log(f"hier round {r + 1}")
             # final assignment at the TRUE capacity m, against the

@@ -141,27 +141,19 @@ class HNSWIndex:
         else:
             entry = jnp.where(entry[:, 0] >= 0, entry[:, 0], 0)
 
-        # level 0: the shared fused-kernel machinery with per-query starts
-        # (the fused kernel is single-expansion — expand > 1 takes the
-        # hybrid path below so the requested semantics are honored)
+        # level 0: route through Index.batch_search with per-query starts
+        # — the SAME single-dispatch fused program the Vamana path runs
+        # (translate + beam + straggler-compaction ladder + rerank,
+        # search/fused.py). The round-3 path called beam_search_fused +
+        # rerank as separate dispatches without the ladder and sat at
+        # 120K QPS while the same graph machinery did 750K on vamana.
         L = max(ef, k)
         idx = self._base_index()
-        ext = idx.build_inline_ext_cache() if expand == 1 else None
-        if ext is not None:
-            from parlayann_tpu.ops import quantize
-            from parlayann_tpu.ops.pallas.fusedbeam import beam_search_fused
-            from parlayann_tpu.search.rerank import rerank_topk
-
-            tier = idx.qpoints
-            q_t = quantize.translate_query(q, tier).astype(jnp.float32)
-            fid, fdist, nv, cmps, _ = beam_search_fused(
-                q_t, tier.data, ext, entry[:, None],
-                metric=tier.metric, n_valid=tier.n, k=k, L=L, cut=cut,
+        if expand == 1:
+            ids, dists, _ = idx.batch_search(
+                q, k=k, beam_size=L, cut=cut, starts=entry,
             )
-            return rerank_topk(
-                q.astype(jnp.float32), self.points.data, fid, k=k,
-                pool=min(10 * k, L), metric=self.points.metric,
-            )
+            return ids, dists
         lv0 = self.levels[0]
         res = beam_search_batch(
             q, lv0.points_l, lv0.nbrs, lv0.degs, entry[:, None],

@@ -758,7 +758,9 @@ def build_vamana_index(
     if metric is Metric.MIPS and ps.d <= 200:
         alpha = 1.0 if ps.d < 100 else 0.98
     build_ps = ps
-    if quantize_build and ps.data.dtype == jnp.float32:
+    # uint8 inputs must build on the int8 tier too: Mosaic kernels
+    # cannot cast uint8 rows (the q8 remap of uint8 is exact-affine)
+    if quantize_build and ps.data.dtype in (jnp.float32, jnp.uint8):
         build_ps = quantize.quantize_pointset(ps, bits=8)
     bp = BuildParams(R=R, L=L, alpha=alpha, num_passes=2 if two_pass else 1, seed=seed)
     graph, stats = build_vamana_graph(build_ps, bp, verbose=verbose)

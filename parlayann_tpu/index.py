@@ -137,7 +137,10 @@ class Index:
         ps = PointSet.from_file(data_path, dtype=dtype, metric=Metric.coerce(metric))
         g = GraphIndexData.load(graph_path)
         idx = Index(points=ps, graph=g)
-        if quantize_bits and ps.data.dtype == jnp.float32:
+        # uint8 input (BIGANN/SIFT-u8 class) also routes through the
+        # q8 tier: an exact affine remap into int8 — the storage dtype
+        # the Pallas kernels can cast (Mosaic has no uint8->f32 cast)
+        if quantize_bits and ps.data.dtype in (jnp.float32, jnp.uint8):
             idx.qpoints = quantize.quantize_pointset(ps, bits=quantize_bits)
         if auto_tier:
             # the reference auto-builds aggressive side-tiers at load
@@ -275,8 +278,14 @@ class Index:
         expand_group: int = 1,
         random_starts: int = 0,
         seed: int = 0,
+        starts=None,
     ):
         """Search all query rows -> (ids (B,k), dists (B,k), result).
+
+        ``starts``: optional per-query start ids, (B,) or (B, S) — used by
+        layered indexes (HNSW) whose upper-level descent supplies the
+        level-0 entry; takes precedence over the entry tier and
+        ``start_point``.
 
         ``random_starts > 0``: every query starts from that many uniformly
         random vertices instead of ``start_point`` (beamSearchRandom,
@@ -300,7 +309,11 @@ class Index:
         # never round-trip device-resident queries (as_device docstring)
         q_full = as_device(queries)
         entry_start = False
-        if random_starts > 0:
+        if starts is not None:
+            start_arr = jnp.asarray(starts, dtype=jnp.int32)
+            if start_arr.ndim == 1:
+                start_arr = start_arr[:, None]
+        elif random_starts > 0:
             rs = np.random.default_rng(seed).integers(
                 0, self.points.n, (q_full.shape[0], random_starts)
             )

@@ -97,3 +97,31 @@ def test_cli_range_track(rng, tmp_path):
         "-graph_path", gf, "-range", "-radius", str(rad),
     ])
     assert rc == 0
+
+
+def test_range_gt_tool_nonzero_subset(rng, tmp_path):
+    """The range-GT tool's -nonzero_path output: a .bin holding exactly
+    the query VECTORS with >=1 in-range result, in query order
+    (compute_range_groundtruth.cpp:32-58 write_nonzero_elts)."""
+    from parlayann_tpu.data import io
+    from parlayann_tpu.tools import compute_range_groundtruth as tool
+
+    X = rng.standard_normal((400, 16)).astype(np.float32)
+    Q = rng.standard_normal((37, 16)).astype(np.float32)
+    bp = str(tmp_path / "b.fbin")
+    qp = str(tmp_path / "q.fbin")
+    gp = str(tmp_path / "gt.rbin")
+    zp = str(tmp_path / "qnz.fbin")
+    io.write_bin(bp, X)
+    io.write_bin(qp, Q)
+    rad = 18.0
+    tool.main(["-base_path", bp, "-query_path", qp, "-gt_path", gp,
+               "-radius", str(rad), "-nonzero_path", zp])
+    gt = io.read_range_ibin(gp)
+    keep = np.asarray([len(g) > 0 for g in gt])
+    sub = io.read_bin(zp, dtype=np.float32)
+    assert sub.shape == (int(keep.sum()), 16)
+    np.testing.assert_array_equal(sub, Q[keep])
+    # oracle: brute-force radius membership
+    d2 = ((Q[:, None, :] - X[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(keep, (d2 <= rad).any(axis=1))
