@@ -470,41 +470,62 @@ def _respill_local(data_f32, n, members, nbr_ids, cents, C, m, metric,
     return members
 
 
-def _teleport_centroids(data_f32, cents, members: np.ndarray, C: int,
-                        m: int, *, rng) -> tuple[jax.Array, int]:
+def _teleport_centroids(data_f32, cents, nbr_ids: np.ndarray,
+                        nbr_d: np.ndarray, C: int, m: int,
+                        *, rng) -> tuple[jax.Array, int]:
     """Capacity-aware empty-cluster reseeding -> (cents, n_moved).
 
-    Donors: centroids holding < m/2 points after a relaxed-round balance
-    (their region has surplus coverage — remaining members re-assign to
-    neighboring centroids next round). Receivers: centroids holding
-    > m points — each requests ceil((fill - m)/m) extra centroids so its
-    catchment can be cut to <= m pieces by the final balance. A donated
-    centroid lands ON a random member point of its receiver (inside the
-    hot region; the next Lloyd round separates the pair locally).
+    TRIAL-balance at the true capacity m to find genuine starvation: the
+    spill-placed points of a cap-m balance are exactly the mass no
+    centroid region can absorb (per-cluster fill>m over-counts — a hot
+    centroid's excess usually fits its blob SIBLINGS' slack, and the
+    first teleport design moved 66K centroids on that signal, draining
+    sparse regions into a NEW 13% spill; measured 10M 2026-08-20).
+    Each starved region (keyed by the spilled points' nearest centroid)
+    requests ceil(spill_mass/m) extra centroids; donors are cap-m-
+    underfull clusters in no-spill regions; a donated centroid lands ON
+    one of the region's spilled points (evenly spread), so the next
+    round's assignment covers exactly the uncovered mass.
 
-    This is k-means empty-cluster handling made capacity-aware: plain
-    Lloyd migration moves means by local gradients and cannot jump
-    between well-separated dense regions, so seed-starved regions stay
-    starved no matter how many rounds run (the 10M 62%-spill mode)."""
-    fill = (members >= 0).sum(axis=1).astype(np.int64)
-    excess = np.maximum(fill - m, 0)
-    need = -(-excess // m)  # extra centroids wanted per hot cluster
-    donors = np.flatnonzero(fill < m // 2)
+    This is k-means empty-cluster handling made capacity-aware: Lloyd
+    means move by local gradients and cannot jump between well-separated
+    dense regions, so seed-starved regions otherwise stay starved no
+    matter how many rounds run (the 10M 62%-final-spill mode)."""
+    trial = balance_assign(nbr_ids, nbr_d, C, m)
+    local = _mask_spilled(trial, nbr_ids)
+    smask = (trial >= 0) & (local < 0)
+    sp_pts = trial[smask].astype(np.int64)
+    if not len(sp_pts):
+        return cents, 0
+    region = nbr_ids[sp_pts, 0].astype(np.int64)
+    ok = region >= 0
+    sp_pts, region = sp_pts[ok], region[ok]
+    spill_mass = np.bincount(region, minlength=C)
+    need = -(-spill_mass // m)  # extra centroids per starved region
+    fill = (local >= 0).sum(axis=1).astype(np.int64)
+    donors = np.flatnonzero((fill < m // 2) & (need == 0))
     if not len(donors) or not need.any():
         return cents, 0
     donors = donors[np.argsort(fill[donors], kind="stable")]
-    receivers = np.repeat(np.arange(C, dtype=np.int64), need)
-    # largest hot spots first
-    receivers = receivers[np.argsort(-excess[receivers], kind="stable")]
+    # receivers grouped by region, largest spill first; k-th donation to
+    # a region lands on an evenly-spread k-th spilled point of it
+    reg_ids = np.flatnonzero(need > 0)
+    reg_ids = reg_ids[np.argsort(-spill_mass[reg_ids], kind="stable")]
+    lens = need[reg_ids]
+    receivers = np.repeat(reg_ids, lens)
+    ends = np.cumsum(lens)
+    occ = np.arange(len(receivers)) - np.repeat(ends - lens, lens)
+    order = np.argsort(region, kind="stable")
+    sp_sorted = sp_pts[order]
+    reg_sorted = region[order]
+    starts = np.searchsorted(reg_sorted, np.arange(C))
     nmove = int(min(len(donors), len(receivers)))
     recv = receivers[:nmove]
+    occ = occ[:nmove]
     don = donors[:nmove].astype(np.int64)
-    slots = rng.integers(0, np.maximum(fill[recv], 1))
-    pts = members[recv, slots].astype(np.int64)
-    ok = pts >= 0
-    recv, don, pts = recv[ok], don[ok], pts[ok]
-    if not len(don):
-        return cents, 0
+    nrep = np.repeat(lens, lens)[:nmove]
+    pts = sp_sorted[starts[recv]
+                    + (occ * spill_mass[recv]) // np.maximum(nrep, 1)]
     newv = jnp.take(data_f32, jnp.asarray(pts, dtype=jnp.int32), axis=0)
     cents = jnp.asarray(cents).at[jnp.asarray(don, dtype=jnp.int32)].set(
         newv
@@ -794,11 +815,11 @@ class ClusterIndex:
                     # (measured 10M taper run 2026-08-20: final balance
                     # still spilled 62% — random seeds give ~10% of the
                     # 100-point natural clusters 0-1 of the ~2.3 needed
-                    # centroids). Move underfull centroids directly onto
-                    # members of overfull clusters; the next round's
-                    # assignment splits the hot region locally.
+                    # centroids). A trial cap-m balance finds the truly
+                    # uncovered mass; underfull centroids from covered
+                    # regions jump onto its spilled points.
                     cents, moved = _teleport_centroids(
-                        data, cents, members, C, m,
+                        data, cents, nbr_ids, nbr_d, C, m,
                         rng=np.random.default_rng(seed + 7000 + r),
                     )
                 if verbose:

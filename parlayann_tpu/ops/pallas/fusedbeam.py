@@ -167,6 +167,45 @@ def _unpack_lanes(a, P):
     return jnp.concatenate(parts, axis=0)
 
 
+def _dedup_merged(nd, npk, *, seg, n_valid, Rp, roll, window=4):
+    """Adjacent-equal-id dedup on a dist-ascending (rows, P*seg) merged
+    array + segmented cleanup sort -> (dists, packs).
+
+    Exactness argument: every kernel-computed copy of a vertex's distance
+    is BIT-IDENTICAL (the inline ext rows hold the same source bytes for
+    the same vertex regardless of parent, and phase A runs the identical
+    contraction), so duplicate ids sort adjacent and one windowed
+    neighbor compare finds them. The one ulp-off case is a SEED entry
+    (its distance came from the XLA seed path): ``window`` adjacent lanes
+    are checked, so a seed dup is missed only if more than window-1
+    distinct entries land strictly inside the few-ulp interval between
+    the two copies — and a miss degrades to one wasted beam lane /
+    re-expansion (same final candidates, deduped again), never a wrong
+    distance. The left copy survives and takes the MIN pack of its
+    window (the expanded bit is the low bit, so an expanded copy can
+    never be resurrected as unexpanded — the eviction-permanence
+    invariant the loop mode guarantees)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, nd.shape, nd.ndim - 1) & (
+        seg - 1
+    )
+    ids = jax.lax.shift_right_logical(npk, 1)
+    live = nd < _INF
+    dmark = jnp.zeros(nd.shape, bool)
+    keep = npk
+    for w in range(1, window + 1):
+        same_l = (ids == roll(ids, w)) & (lane >= w) & live & roll(live, w)
+        dmark = dmark | same_l
+        same_r = (
+            (ids == roll(ids, -w)) & (lane < seg - w) & live
+            & roll(live, -w)
+        )
+        keep = jnp.where(same_r, jnp.minimum(keep, roll(npk, -w)), keep)
+    sent = (n_valid + 4 * Rp) * 2 + 1
+    nd = jnp.where(dmark, _INF, nd)
+    npk = jnp.where(dmark, sent + 2 * lane, keep)
+    return bitonic_sort(nd, npk, seg=seg, roll=roll)
+
+
 def _auto_block(block_b, G, Wb, Rp):
     """Shrink block_b until phase B's unrolled bitonic intermediates fit
     the 16 MiB scoped-VMEM stack: the merge works on (block_b, 2*Wb)
@@ -411,14 +450,25 @@ def _step_body(
 
     # dedup against the beam (hashless exactness argument in
     # search/beam.py): a candidate already present in the beam is
-    # dropped, the beam copy (with its expanded flag) wins. Direct
-    # compare against the <= L live beam lanes costs ~L vector ops —
-    # half the price of the id-sort it replaces.
-    bid = jax.lax.shift_right_logical(bpack, 1)
-    dup = jnp.zeros(cd.shape, bool)
-    for l in range(Wb):
-        dup = dup | (cid == bid[:, l:l + 1])
-    cd = jnp.where(dup, _INF, cd)
+    # dropped, the beam copy (with its expanded flag) wins.
+    # Two modes (PARLAYANN_DEDUP, trace-time):
+    #   "loop" — direct compare against each of the Wb beam lanes. Exact,
+    #     but Wb vector passes over the (block_b, Rp) candidate tile on
+    #     1/4-utilized vregs: the LARGEST phase-B term at Wb<=32.
+    #   "merge" — skip the loop; equal ids land ADJACENT after the dist
+    #     merge (a vertex's distance is computed from identical source
+    #     bytes by identical kernel arithmetic regardless of which parent
+    #     row carried it, so duplicate copies are bit-equal) and are
+    #     marked there (_dedup_merged, windowed for the ulp-off seed
+    #     case) + one segmented cleanup sort — O(log^2) packed stages
+    #     instead of Wb unpacked passes.
+    _dedup = os.environ.get("PARLAYANN_DEDUP", "loop")
+    if _dedup != "merge":
+        bid = jax.lax.shift_right_logical(bpack, 1)
+        dup = jnp.zeros(cd.shape, bool)
+        for l in range(Wb):
+            dup = dup | (cid == bid[:, l:l + 1])
+        cd = jnp.where(dup, _INF, cd)
     cpack = jnp.where(cd < _INF, cid * 2 + 1, (n_valid + lane_rp) * 2 + 1)
 
     # sort candidates DESCENDING (ascending by negated key): the Wb
@@ -459,10 +509,20 @@ def _step_body(
             _pack_lanes(mdist, Pm), _pack_lanes(mpack, Pm),
             seg=2 * Wb, roll=_kroll,
         )
+        if _dedup == "merge":
+            ndist_p, npack_p = _dedup_merged(
+                ndist_p, npack_p, seg=2 * Wb, n_valid=n_valid, Rp=Rp,
+                roll=_kroll,
+            )
         ndist = _unpack_lanes(ndist_p, Pm)
         npack = _unpack_lanes(npack_p, Pm)
     else:
         ndist, npack = bitonic_merge(mdist, mpack, roll=_kroll)
+        if _dedup == "merge":
+            ndist, npack = _dedup_merged(
+                ndist, npack, seg=2 * Wb, n_valid=n_valid, Rp=Rp,
+                roll=_kroll,
+            )
     ndist = ndist[:, :Wb]
     npack = npack[:, :Wb]
     ndist = jnp.where(lane_wb < L, ndist, _INF)

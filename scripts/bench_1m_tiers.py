@@ -148,6 +148,20 @@ def main():
               rerank_factor=20)
         del idx
 
+    if "jlbit" in which:
+        # JL-bit tier dim sweep (VERDICT r3 #9): the raw d=128 sign-bit
+        # tier is information-limited (recall .92 ceiling at any beam) —
+        # jl_point.h:108-191 exists precisely to RAISE the bit count.
+        # Inline bits at jl_dims=512: n*R*512/8 = 2.0 GiB at 1M R=32.
+        for jd in env_beams("JL_DIMS", (256, 384, 512)):
+            idx = Index(points=ps, graph=graph)
+            idx.enable_jl(jl_dims=jd, bits=1)
+            log(f"— JL sign-bit tier jl_dims={jd} + rerank —")
+            sweep(idx, f"jl{jd}",
+                  env_beams("BEAMS_JL", (100, 150, 220, 300, 400)),
+                  rerank_factor=20)
+            del idx
+
     if "cluster" in which:
         # both ext modes: int8 is the capacity layout (the 10M+ story),
         # f32 trades 4x ext HBM for exact pool scores and no rerank pass
