@@ -214,3 +214,35 @@ def test_build_beam_fused_matches_hybrid_visited(rng):
             for i in range(vis_ids.shape[1]) if vis_ids[b, i] >= 0
         )
         assert rset == fset, b
+
+
+def test_dedup_merged_semantics():
+    """_dedup_merged (PARLAYANN_DEDUP=merge): duplicate ids adjacent in a
+    dist-sorted merged row are collapsed — the surviving copy keeps the
+    MIN pack (expanded bit wins, preserving eviction permanence), dup
+    lanes become INF sentinels, and the cleanup sort restores ascending
+    order. End-to-end equivalence with the loop mode is checked manually
+    per-process (env is trace-time); this pins the helper's contract."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parlayann_tpu.ops.distance import INF
+    from parlayann_tpu.ops.pallas.fusedbeam import _dedup_merged
+
+    n_valid, Rp = 100, 8
+    # ids:   7(exp) 7(unexp dup) 3 5 5(exp dup later lane) pad...
+    ids =   [7,    7,    3,    5,    5,    90,   91,   92]
+    packs = [14,   15,   7,    11,   10,   181,  183,  185]
+    dists = [1.0,  1.0,  2.0,  3.0,  3.0,  INF,  INF,  INF]
+    nd = jnp.asarray([dists], jnp.float32)
+    npk = jnp.asarray([packs], jnp.int32)
+    od, op = _dedup_merged(nd, npk, seg=8, n_valid=n_valid, Rp=Rp,
+                           roll=jnp.roll)
+    od, op = np.asarray(od)[0], np.asarray(op)[0]
+    live = od < INF
+    assert live.sum() == 3
+    out_ids = (op[live] >> 1).tolist()
+    assert out_ids == [7, 3, 5]
+    # min pack survives: id 7 keeps 14 (expanded), id 5 keeps 10
+    assert op[live].tolist() == [14, 7, 10]
+    assert np.all(np.diff(od[live]) >= 0)
