@@ -503,10 +503,15 @@ def _teleport_centroids(data_f32, cents, nbr_ids: np.ndarray,
     spill_mass = np.bincount(region, minlength=C)
     need = -(-spill_mass // m)  # extra centroids per starved region
     fill = (local >= 0).sum(axis=1).astype(np.int64)
-    donors = np.flatnonzero((fill < m // 2) & (need == 0))
+    # a donor must be TRULY redundant: trial-fill == 0 means no point
+    # chose it within capacity at any candidate rank, so removing it
+    # uncovers nothing. fill < m/2 looked spare but stole LOAD-BEARING
+    # second centroids of modest blobs (a mass-90 blob trial-fills
+    # (64, 26); taking the 26 uncovers 26 points) — measured 10M
+    # 2026-08-20: 42.6K such donors re-created a 1.13M spill next round.
+    donors = np.flatnonzero((fill == 0) & (need == 0))
     if not len(donors) or not need.any():
         return cents, 0
-    donors = donors[np.argsort(fill[donors], kind="stable")]
     # receivers grouped by region, largest spill first; k-th donation to
     # a region lands on an evenly-spread k-th spilled point of it
     reg_ids = np.flatnonzero(need > 0)
@@ -894,19 +899,26 @@ class ClusterIndex:
             ext_dtype = ("f32" if n < (1 << 24) and f32_bytes <= 6 << 30
                          else "int8")
 
-        def seed_quantizer(cents_tier_f32):
+        def seed_quantizer(cents_tier_f32, blocks_dtype=None):
             # past the argmin cutoff (clusterbeam: (B, C) tile + argmin
             # passes) the query seed needs a coarse router too: cluster
             # the TIER-DOMAIN centroids once at build so every search
             # scans ~C/96 meta-centroids + top-P cell blocks instead of
             # streaming all C (measured 10M ceiling: ~21K QPS
             # probe-independent). L2 partition, same as the build's.
+            # ``blocks_dtype=int8``: the cell blocks hold q8-domain
+            # integer values, so the int8 cast is exact — and the seed's
+            # per-cell DMA is BYTES-bound (~57KB f32 descriptors), so
+            # the narrower rows quarter the seed bandwidth.
             from parlayann_tpu.ops.pallas import clusterbeam as _cb
 
             if C <= _cb.ARGMIN_SEED_CUTOFF:
                 return None
-            return _meta_quantizer(cents_tier_f32, C, Metric.L2,
-                                   seed=1009)
+            mc, blocks, idt = _meta_quantizer(cents_tier_f32, C, Metric.L2,
+                                              seed=1009)
+            if blocks_dtype is not None:
+                blocks = blocks.astype(blocks_dtype)
+            return mc, blocks, idt
 
         if ext_dtype == "f32":
             data = points.data[:n].astype(jnp.float32)
@@ -929,7 +941,8 @@ class ClusterIndex:
         )
         ext = build_cluster_ext(qps.data, members, adj, cq)
         C_pad = ext.shape[0]
-        sm = seed_quantizer(cq[:C].astype(jnp.float32))
+        sm = seed_quantizer(cq[:C].astype(jnp.float32),
+                            blocks_dtype=jnp.int8)
         if cq.shape[0] != C_pad:
             cq = jnp.pad(cq.astype(jnp.int8),
                          ((0, C_pad - cq.shape[0]), (0, 0)))
