@@ -754,7 +754,15 @@ class ClusterIndex:
             # -> shaped; the teleports need a following round to settle
             rounds = max(1, int(_os.environ.get("PARLAYANN_HIER_ROUNDS",
                                                 "3")))
-            P = int(_os.environ.get("PARLAYANN_HIER_P", "2"))
+            # routing accuracy is the hier path's QUALITY lever, not
+            # capacity: at 200K (diag_hier2, 2026-08-20) the exact path
+            # covers .991 @16 probes while hier covered .927 at P=2,
+            # .954 at P=4, .977 at P=8, .989 at P=16 (recall .849 ->
+            # .962) — the meta-restricted candidate set was simply
+            # missing the true nearest centroids. P=16 also BUILDS
+            # faster end-to-end (45s vs 73s at 200K): accurate
+            # assignment leaves almost nothing to respill.
+            P = int(_os.environ.get("PARLAYANN_HIER_P", "16"))
             # The LLOYD rounds must be (near-)unconstrained: the exact
             # path runs 6 free Lloyd iterations and balances ONCE at the
             # end, and that freedom is what lets a centroid MIGRATE into
