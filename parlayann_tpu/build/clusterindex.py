@@ -473,11 +473,26 @@ def _respill_local(data_f32, n, members, nbr_ids, cents, C, m, metric,
             members[cacc, slot] = pending[rem[sidx[acc]]]
             fill += np.bincount(cacc, minlength=C)
             placed[rem[sidx[acc]]] = True
-        pending = pending[~placed]
         if verbose:
             print(f"respill pass {it} (k={kk}): {n_spill} -> "
-                  f"{len(pending)} left", flush=True)
-        k = min(k * 4, C)
+                  f"{int((~placed).sum())} left", flush=True)
+        if not placed.any() and kk >= min(1024, len(free)):
+            # no progress at the widest candidate set the selector
+            # supports (k <= 1024, search/flat._select_sort): place the
+            # pathological tail into the emptiest free slots directly —
+            # termination over locality for a vanishing fraction
+            pending = pending[~placed]
+            free_c = np.repeat(np.arange(C), m - fill)
+            free_c = free_c[np.argsort(fill[free_c], kind="stable")]
+            take = free_c[: len(pending)]
+            for c_ in np.unique(take):
+                idx = np.flatnonzero(take == c_)
+                members[c_, fill[c_]: fill[c_] + len(idx)] = pending[idx]
+                fill[c_] += len(idx)
+            pending = pending[:0]
+            break
+        pending = pending[~placed]
+        k = min(k * 4, 1024)
     return members
 
 

@@ -56,9 +56,21 @@ def _chunk_dists(q, blk, metric: Metric, precision):
 
 
 def _select_sort(d, ids, k):
-    """Exact k smallest of (B, C) -> (B, k) via two-level lane sorts."""
+    """Exact k smallest of (B, C) -> (B, k) via two-level lane sorts.
+
+    The group width G adapts to 2k (pow2, capped 2048) so every
+    recursion level SHRINKS the lane count by >= 2x: with the fixed
+    G=128, any k >= 128 kept whole groups and the collapse level
+    recursed on an UNSHRUNK array forever (hit by the meta-respill's
+    widening-k passes at 10M, 2026-08-20)."""
     B, C = d.shape
+    if k > 1024:
+        raise ValueError(
+            f"_select_sort k={k} > 1024: widen the caller's candidate "
+            "chunking instead (a full wide lax.sort faults the device)")
     G = 128
+    while G < min(2 * k, C) and G < 2048:
+        G *= 2
     if C <= G:
         sd, si = jax.lax.sort((d, ids), dimension=1, num_keys=1)
         return sd[:, :k], si[:, :k]
