@@ -176,7 +176,7 @@ def _meta_sizes(C: int, meta_m: int) -> tuple[int, int]:
 
 
 def _meta_quantizer(cents, C: int, metric: Metric, *, meta_m: int = 96,
-                    seed: int = 0):
+                    seed: int = 0, iters: int = 4):
     """Cluster the C centroids into balanced meta-cells.
     -> (mcents (Cm, d) f32, blocks (Cm, cap, d) f32, idtab (Cm, cap) i32).
 
@@ -191,7 +191,7 @@ def _meta_quantizer(cents, C: int, metric: Metric, *, meta_m: int = 96,
     geometric and the router honest."""
     Cm, cap = _meta_sizes(C, meta_m)
     cj = jnp.asarray(cents, dtype=jnp.float32)[:C]
-    mcents = kmeans(cj, C, Cm, metric=metric, iters=4, seed=seed)
+    mcents = kmeans(cj, C, Cm, metric=metric, iters=iters, seed=seed)
     ids, dd = _assign_all(cj, C, mcents, Cm, min(8, Cm), metric)
     memm = balance_assign(ids, dd, Cm, cap)
     memm = _respill_local(cj, C, memm, ids, mcents, Cm, cap, metric)
@@ -949,6 +949,8 @@ class ClusterIndex:
             ext_dtype = ("f32" if n < (1 << 24) and f32_bytes <= 6 << 30
                          else "int8")
 
+        import os as _os
+
         def seed_quantizer(cents_tier_f32, blocks_dtype=None):
             # past the argmin cutoff (clusterbeam: (B, C) tile + argmin
             # passes) the query seed needs a coarse router too: cluster
@@ -964,8 +966,18 @@ class ClusterIndex:
 
             if C <= _cb.ARGMIN_SEED_CUTOFF:
                 return None
+            # FINE cells for the query seed (meta_m=16 vs the build
+            # router's 96): the seed's accuracy bounds recall at scale —
+            # the measured 10M curve was probe-FLAT at .76 with top-4 of
+            # 3052 coarse cells (a wrong-blob seed is unrecoverable by
+            # adjacency). The query side scans queries (10K), not points
+            # (10M), so an 18K-cell scan is ~2ms on the MXU — fine cells
+            # put mcents ~on the centroids and the routing error
+            # vanishes; the smaller cap also shrinks per-cell DMA bytes.
+            seed_mm = int(_os.environ.get("PARLAYANN_SEED_META_M", "16"))
             mc, blocks, idt = _meta_quantizer(cents_tier_f32, C, Metric.L2,
-                                              seed=1009)
+                                              meta_m=seed_mm, seed=1009,
+                                              iters=3)
             if blocks_dtype is not None:
                 blocks = blocks.astype(blocks_dtype)
             return mc, blocks, idt

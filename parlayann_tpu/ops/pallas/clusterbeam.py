@@ -446,7 +446,7 @@ def cluster_search_fused(
     rerank: str = "full",
     seed_mode: str = "argmin",
     select_mode: str = "sort",
-    seed_probes: int = 4,
+    seed_probes: int = 8,
 ):
     """Single-dispatch cluster search -> (ids (B,k), dists (B,k),
     (n_probes (B,), dist_cmps (B,))). Distances are full-precision with
