@@ -1067,7 +1067,8 @@ class ClusterIndex:
     def search(self, queries, k: int = 10, *, n_probe: int = 8,
                min_probe: int = 3, cut: float = 1.35, starts: int = 2,
                rerank_factor: int = 2, rerank: str = "auto",
-               seed_mode: str = "argmin", select_mode: str = "sort"):
+               seed_mode: str = "argmin", select_mode: str = "sort",
+               seed_probes: int = 8):
         """-> (ids (B, k), dists (B, k), counters). ``n_probe`` bounds
         expansions per query (the visit limit); ``starts`` seeds the
         cluster beam with the exact top-S centroids (one MXU scan over
@@ -1105,4 +1106,5 @@ class ClusterIndex:
             min_probe=min_probe, cut=cut, S=starts, pool=pool,
             tier_bits=bits, rerank=rerank,
             seed_mode=seed_mode, select_mode=select_mode,
+            seed_probes=seed_probes,
         )

@@ -117,24 +117,37 @@ def main():
     gt_ids = np.asarray(gt_ids)
     gt_dists = np.asarray(gt_dists)
 
-    # ---- cluster build ----
-    t0 = time.perf_counter()
-    ci = ClusterIndex.build(ps, m=64, cand=6, verbose=True)
-    log(f"cluster build: {time.perf_counter()-t0:.1f}s C={ci.C} "
-        f"ext {np.prod(ci.ext.shape)/2**30:.2f} GiB")
+    # ---- cluster build (BENCH_CI_CACHE=1 reuses the saved partition:
+    # search-side experiments then skip the ~15 min build) ----
+    cpath = os.path.join(cdir, f"ci_{n}x{d}_m64.npz")
+    use_cache = os.environ.get("BENCH_CI_CACHE", "0") == "1"
+    if use_cache and os.path.exists(cpath):
+        t0 = time.perf_counter()
+        ci = ClusterIndex.load(cpath, ps)
+        log(f"cluster load: {time.perf_counter()-t0:.1f}s C={ci.C}")
+    else:
+        t0 = time.perf_counter()
+        ci = ClusterIndex.build(ps, m=64, cand=6, verbose=True)
+        log(f"cluster build: {time.perf_counter()-t0:.1f}s C={ci.C} "
+            f"ext {np.prod(ci.ext.shape)/2**30:.2f} GiB")
+        if use_cache:
+            ci.save(cpath)
 
     Qd = jax.device_put(Qn)
     Qd.block_until_ready()
     probes = os.environ.get("PROBES")
     probes = ([int(x) for x in probes.split(",")] if probes
               else [8, 12, 16, 24, 32, 48, 64])
+    sp = int(os.environ.get("SEED_PROBES", 8))
+    smode = os.environ.get("SEED_MODE", "argmin")
     for npr in probes:
         best = 1e9
         out = None
         for _ in range(2):
             t0 = time.perf_counter()
             for _r in range(rounds):
-                out = ci.search(Qd, k=k, n_probe=npr, cut=0.0)
+                out = ci.search(Qd, k=k, n_probe=npr, cut=0.0,
+                                seed_probes=sp, seed_mode=smode)
             _ = np.asarray(out[0][:1])
             best = min(best, (time.perf_counter() - t0) / rounds)
         rec = compute_recall(np.asarray(out[0]), gt_ids, gt_dists, k)
