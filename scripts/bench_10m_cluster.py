@@ -119,7 +119,9 @@ def main():
 
     # ---- cluster build (BENCH_CI_CACHE=1 reuses the saved partition:
     # search-side experiments then skip the ~15 min build) ----
-    cpath = os.path.join(cdir, f"ci_{n}x{d}_m64.npz")
+    slack = float(os.environ.get("CB_SLACK", "1.5"))
+    cand = int(os.environ.get("CB_CAND", "6"))
+    cpath = os.path.join(cdir, f"ci_{n}x{d}_m64_s{slack}_c{cand}.npz")
     use_cache = os.environ.get("BENCH_CI_CACHE", "0") == "1"
     if use_cache and os.path.exists(cpath):
         t0 = time.perf_counter()
@@ -127,7 +129,8 @@ def main():
         log(f"cluster load: {time.perf_counter()-t0:.1f}s C={ci.C}")
     else:
         t0 = time.perf_counter()
-        ci = ClusterIndex.build(ps, m=64, cand=6, verbose=True)
+        ci = ClusterIndex.build(ps, m=64, cand=cand, slack=slack,
+                                verbose=True)
         log(f"cluster build: {time.perf_counter()-t0:.1f}s C={ci.C} "
             f"ext {np.prod(ci.ext.shape)/2**30:.2f} GiB")
         if use_cache:
