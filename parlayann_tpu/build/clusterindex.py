@@ -595,6 +595,46 @@ def _recenter(data_f32, members: np.ndarray, C: int) -> jax.Array:
     return _recenter_jit(data_f32, mm, block=block)[:C]
 
 
+@partial(jax.jit, static_argnames=("m", "Rc", "d", "block"))
+def _pack_ext_jit(qdata, mm, adjj, qcents, *, m, Rc, d, block):
+    """Chunked ext-row packer: lax.map writes straight into ONE
+    (C_pad, m+Rc+8, d) buffer. The eager whole-array version transiently
+    held ~4 full-size copies (member gather, mask, adjacency gather,
+    concat) — ~11 GiB at 10M slack=2.0 (C=312K) and OOM'd the chip."""
+    Cp = mm.shape[0]
+
+    def planes(idr, width):
+        out = []
+        for b in range(4):
+            byte = jnp.right_shift(idr, 8 * b) & 0xFF
+            out.append(
+                jnp.pad(byte, ((0, 0), (0, d - width))).astype(jnp.int8)[
+                    :, None, :
+                ]
+            )
+        return out
+
+    def one(args):
+        mb, ab = args  # (block, m) int32, (block, Rc) int32
+        vecs = jnp.take(
+            qdata, jnp.clip(mb, 0, qdata.shape[0] - 1).reshape(-1), axis=0
+        ).reshape(block, m, d).astype(jnp.int8)
+        vecs = jnp.where((mb >= 0)[:, :, None], vecs, 0)
+        avecs = jnp.take(
+            qcents, jnp.clip(ab, 0, qcents.shape[0] - 1).reshape(-1),
+            axis=0,
+        ).reshape(block, Rc, d).astype(jnp.int8)
+        avecs = jnp.where((ab >= 0)[:, :, None], avecs, 0)
+        return jnp.concatenate(
+            [vecs] + planes(mb, m) + [avecs] + planes(ab, Rc), axis=1
+        )
+
+    return jax.lax.map(
+        one, (mm.reshape(Cp // block, block, m),
+              adjj.reshape(Cp // block, block, Rc)),
+    ).reshape(Cp, m + Rc + 8, d)
+
+
 def build_cluster_ext(qdata, members, adj, qcents) -> jax.Array:
     """Pack the per-cluster ext rows -> (C_pad, m + Rc + 8, d) int8.
 
@@ -612,38 +652,17 @@ def build_cluster_ext(qdata, members, adj, qcents) -> jax.Array:
     d = qdata.shape[1]
     assert m % 8 == 0 and Rc % 8 == 0 and m <= d and Rc <= d
     C_pad = -(-C // 8) * 8
-
-    def planes(idr, width):
-        out = []
-        for b in range(4):
-            byte = jnp.right_shift(idr, 8 * b) & 0xFF
-            out.append(
-                jnp.pad(byte, ((0, 0), (0, d - width))).astype(jnp.int8)[
-                    :, None, :
-                ]
-            )
-        return out
-
-    mem = jnp.asarray(members)
-    vecs = jnp.take(
-        qdata, jnp.clip(mem, 0, qdata.shape[0] - 1).reshape(-1), axis=0
-    ).reshape(C, m, d).astype(jnp.int8)
-    vecs = jnp.where((mem >= 0)[:, :, None], vecs, 0)
+    block = 8192
+    while C_pad % block:
+        block //= 2
+    mm = jnp.asarray(members)
     adjj = jnp.asarray(adj)
-    avecs = jnp.take(
-        qcents, jnp.clip(adjj, 0, qcents.shape[0] - 1).reshape(-1), axis=0
-    ).reshape(C, Rc, d).astype(jnp.int8)
-    avecs = jnp.where((adjj >= 0)[:, :, None], avecs, 0)
-    ext = jnp.concatenate(
-        [vecs] + planes(mem, m) + [avecs] + planes(adjj, Rc), axis=1
-    )
     if C_pad != C:
-        ext = jnp.pad(ext, ((0, C_pad - C), (0, 0), (0, 0)),
-                      constant_values=-1)
-        # padded rows: zero vectors, id planes 0xff (= id -1, masked)
-        ext = ext.at[C:, :m].set(0)
-        ext = ext.at[C:, m + 4:m + 4 + Rc].set(0)
-    return ext
+        # padded rows: id -1 (0xff planes) + zero vectors via the mask
+        mm = jnp.pad(mm, ((0, C_pad - C), (0, 0)), constant_values=-1)
+        adjj = jnp.pad(adjj, ((0, C_pad - C), (0, 0)), constant_values=-1)
+    return _pack_ext_jit(qdata, mm, adjj, qcents, m=m, Rc=Rc, d=d,
+                         block=block)
 
 
 def build_cluster_ext_f32(data_f32, members, adj, cents) -> jax.Array:
