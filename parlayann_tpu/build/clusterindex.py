@@ -1054,7 +1054,11 @@ class ClusterIndex:
             raise ValueError(
                 f"index was built on n={int(z['n'])}, points have {points.n}"
             )
-        data = points.data[: points.n].astype(jnp.float32)
+        # reuse the (possibly padded) buffer: a [:n] slice ALLOCATES a
+        # full copy (4.8 GiB at 10M — OOM'd the slack-2.0 load);
+        # _recenter gathers by member id < n only
+        data = (points.data if points.data.dtype == jnp.float32
+                else points.data[: points.n].astype(jnp.float32))
         cents = _recenter(data, members, C)
         ext_dtype = str(z["ext_dtype"]) if "ext_dtype" in z else "int8"
         return ClusterIndex._finish(points, members, adj, cents, C, m, Rc,
