@@ -496,6 +496,112 @@ def _respill_local(data_f32, n, members, nbr_ids, cents, C, m, metric,
     return members
 
 
+@partial(jax.jit, static_argnames=("block",))
+def _assigned_dist_jit(data_f32, cents, pt2c, *, block):
+    """Chunked ||x_i - c_assign(i)||^2 -> (n_pad,) f32."""
+    n_pad = pt2c.shape[0]
+
+    def one(idx):
+        x = jnp.take(data_f32, idx, axis=0)
+        c = jnp.take(cents, jnp.clip(jnp.take(pt2c, idx), 0, None), axis=0)
+        d = x - c
+        return jnp.sum(d * d, axis=1)
+
+    ids = jnp.arange(n_pad, dtype=jnp.int32).reshape(n_pad // block, block)
+    return jax.lax.map(one, ids).reshape(n_pad)
+
+
+def _polish_misassigned(data_f32, n, members: np.ndarray, cents, C: int,
+                        m: int, metric: Metric, *, frac: float = 0.15,
+                        kc: int = 8, verbose: bool = False) -> np.ndarray:
+    """EXACT-reassignment polish for the router's error tail -> members.
+
+    The hier build assigns through a meta-restricted candidate router
+    whose top-1 accuracy tops out ~.92 at 10M — the ~8% of points that
+    never saw their true nearest centroids get balanced into far
+    clusters no query probes, and that error is the measured probe-FLAT
+    recall ceiling (exact-seed .9533 at slack 2.0 while coverage-style
+    accounting predicted higher). Misrouted points are conspicuous: their
+    assigned-centroid distance is inflated. So: flag the worst ``frac``
+    by assigned distance, EXACT-scan only the flagged subset against all
+    C centroids (a tail scan is ~frac of the full O(n C d) Lloyd pass —
+    seconds, not minutes), and move each flagged point into its exact
+    nearest cluster WITH FREE CAPACITY by the same distance-priority
+    rank rounds the balancer uses. Points whose exact candidates are all
+    full keep their current slot (capacity-displaced, not misrouted)."""
+    pt2c = np.full(data_f32.shape[0], -1, np.int32)
+    rowsc = np.repeat(np.arange(C, dtype=np.int32), members.shape[1])
+    vmask = members.reshape(-1) >= 0
+    pt2c[members.reshape(-1)[vmask]] = rowsc[vmask]
+    block = 1 << 16  # largest pow2 <= 64K dividing the row count
+    while block > 8 and data_f32.shape[0] % block:
+        block //= 2
+    if data_f32.shape[0] % block:
+        block = 1
+    ad = np.asarray(_assigned_dist_jit(
+        data_f32, jnp.asarray(cents), jnp.asarray(pt2c), block=block,
+    ))[:n]
+    qidx = int(n * (1 - frac))
+    thr = np.partition(ad, qidx)[qidx]
+    flagged = np.flatnonzero((ad >= thr) & (pt2c[:n] >= 0)).astype(np.int64)
+    if not len(flagged):
+        return members
+    fv = jnp.take(data_f32, jnp.asarray(flagged, np.int32), axis=0)
+    eids, ed = _assign_all(fv, len(flagged), jnp.asarray(cents), C, kc,
+                           metric)
+    movers = eids[:, 0] != pt2c[flagged]
+    flagged = flagged[movers]
+    eids, ed = eids[movers], ed[movers]
+    if not len(flagged):
+        return members
+    # free the movers' current slots (compact rows left), then rank-round
+    # placement into their exact candidates under capacity
+    is_mover = np.zeros(data_f32.shape[0], bool)
+    is_mover[flagged] = True
+    keep = ~((members >= 0) & is_mover[np.clip(members, 0, None)])
+    members = np.where(keep, members, -1)
+    ordr = np.argsort(members < 0, axis=1, kind="stable")
+    members = np.take_along_axis(members, ordr, axis=1)
+    fill = (members >= 0).sum(axis=1).astype(np.int64)
+    order = np.argsort(ed[:, 0], kind="stable")
+    placed = np.zeros(len(flagged), bool)
+    for j in range(eids.shape[1]):
+        rem = order[~placed[order]]
+        if not len(rem):
+            break
+        c = eids[rem, j].astype(np.int64)
+        valid = c >= 0
+        sidx = np.argsort(c, kind="stable")
+        cs = c[sidx]
+        newgrp = np.r_[True, cs[1:] != cs[:-1]]
+        grp_start = np.maximum.accumulate(
+            np.where(newgrp, np.arange(len(cs)), 0))
+        rank = np.arange(len(cs)) - grp_start
+        cap = np.where(valid[sidx], m - fill[np.clip(cs, 0, C - 1)], 0)
+        acc = rank < cap
+        cacc = cs[acc]
+        slot = fill[cacc] + rank[acc]
+        members[cacc, slot] = flagged[rem[sidx[acc]]]
+        fill += np.bincount(cacc, minlength=C)
+        placed[rem[sidx[acc]]] = True
+    if not placed.all():
+        # candidates full: emptiest free slots (same fallback family as
+        # the respill tail; these are capacity-displaced, tiny fraction)
+        pending = flagged[~placed]
+        free_c = np.repeat(np.arange(C), m - fill)
+        free_c = free_c[np.argsort(fill[free_c], kind="stable")]
+        take = free_c[: len(pending)]
+        for c_ in np.unique(take):
+            idx = np.flatnonzero(take == c_)
+            members[c_, fill[c_]: fill[c_] + len(idx)] = pending[idx]
+            fill[c_] += len(idx)
+    if verbose:
+        print(f"polish: flagged {len(ad) and int((ad >= thr).sum())} "
+              f"moved {int(placed.sum())} fallback "
+              f"{int((~placed).sum())}", flush=True)
+    return members
+
+
 def _teleport_centroids(data_f32, cents, nbr_ids: np.ndarray,
                         nbr_d: np.ndarray, C: int, m: int,
                         *, rng) -> tuple[jax.Array, int]:
@@ -921,6 +1027,19 @@ class ClusterIndex:
             members = _respill_local(data, n, members, nbr_ids, cents,
                                      C, m, cmetric, verbose=verbose)
             cents = _recenter(data, members, C)
+            # exact-reassignment polish for the router's error tail (the
+            # probe-flat recall ceiling at 10M — see _polish_misassigned)
+            pfrac = float(_os.environ.get("PARLAYANN_POLISH", "0.15"))
+            if pfrac > 0:
+                t1 = _time.perf_counter()
+                members = _polish_misassigned(
+                    data, n, members, cents, C, m, cmetric, frac=pfrac,
+                    verbose=verbose,
+                )
+                cents = _recenter(data, members, C)
+                if verbose:
+                    print(f"polish: {_time.perf_counter() - t1:.1f}s",
+                          flush=True)
             if verbose:
                 print(f"hier final: {_time.perf_counter() - t0:.1f}s",
                       flush=True)
