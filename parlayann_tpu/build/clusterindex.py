@@ -546,9 +546,25 @@ def _polish_misassigned(data_f32, n, members: np.ndarray, cents, C: int,
     flagged = np.flatnonzero((ad >= thr) & (pt2c[:n] >= 0)).astype(np.int64)
     if not len(flagged):
         return members
-    fv = jnp.take(data_f32, jnp.asarray(flagged, np.int32), axis=0)
-    eids, ed = _assign_all(fv, len(flagged), jnp.asarray(cents), C, kc,
-                           metric)
+    # exact scan in query-sized batches through the SAME streamed
+    # flat-search config the stream seed uses (chunk=8192 group sorts) —
+    # _assign_all's (step, C) tile pattern at C=312K faulted the v5e
+    # worker (the known wide-sort failure family, search/flat.py)
+    cj = jnp.asarray(cents)
+    eb = 16384
+    ids_l, d_l = [], []
+    fl_pad = np.pad(flagged, (0, (-len(flagged)) % eb), mode="edge")
+    for off in range(0, len(fl_pad), eb):
+        fvb = jnp.take(data_f32,
+                       jnp.asarray(fl_pad[off:off + eb], np.int32), axis=0)
+        ib, db = flat_search_batch(
+            fvb, cj, k=kc, metric=metric, n_valid=C,
+            chunk=min(cj.shape[0], 8192), select="sort",
+        )
+        ids_l.append(np.asarray(ib))
+        d_l.append(np.asarray(db))
+    eids = np.concatenate(ids_l)[: len(flagged)]
+    ed = np.concatenate(d_l)[: len(flagged)]
     movers = eids[:, 0] != pt2c[flagged]
     flagged = flagged[movers]
     eids, ed = eids[movers], ed[movers]
