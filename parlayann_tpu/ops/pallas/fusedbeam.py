@@ -193,11 +193,15 @@ def _dedup_merged(nd, npk, *, seg, n_valid, Rp, roll, window=4):
     dmark = jnp.zeros(nd.shape, bool)
     keep = npk
     for w in range(1, window + 1):
-        same_l = (ids == roll(ids, w)) & (lane >= w) & live & roll(live, w)
+        # liveness of the rolled lane comes from rolling the f32 dists
+        # (Mosaic cannot rotate i1 vectors: "Rotate with non-32-bit
+        # data"; rolling the mask's SOURCE sidesteps the cast)
+        same_l = ((ids == roll(ids, w)) & (lane >= w) & live
+                  & (roll(nd, w) < _INF))
         dmark = dmark | same_l
         same_r = (
             (ids == roll(ids, -w)) & (lane < seg - w) & live
-            & roll(live, -w)
+            & (roll(nd, -w) < _INF)
         )
         keep = jnp.where(same_r, jnp.minimum(keep, roll(npk, -w)), keep)
     sent = (n_valid + 4 * Rp) * 2 + 1
