@@ -143,15 +143,23 @@ def _find_real_dataset():
                 continue
             from parlayann_tpu.data import io as pio
 
-            X = pio.read_vecs(bs[0]) if bs[0].endswith("vecs") else \
-                pio.read_bin(bs[0], dtype=pio.infer_bin_dtype(bs[0]))
-            Q = pio.read_vecs(qs[0]) if qs[0].endswith("vecs") else \
-                pio.read_bin(qs[0], dtype=pio.infer_bin_dtype(qs[0]))
-            gt = None
-            if gpat:
-                gs = sorted(glob.glob(gpat.format(r=r)))
-                if gs:
-                    gt = pio.read_vecs(gs[0])
+            # a malformed/partial file (e.g. truncated download) must
+            # not abort the whole benchmark — fall through to the next
+            # candidate / the synthetic dataset (ADVICE r4)
+            try:
+                X = pio.read_vecs(bs[0]) if bs[0].endswith("vecs") else \
+                    pio.read_bin(bs[0], dtype=pio.infer_bin_dtype(bs[0]))
+                Q = pio.read_vecs(qs[0]) if qs[0].endswith("vecs") else \
+                    pio.read_bin(qs[0], dtype=pio.infer_bin_dtype(qs[0]))
+                gt = None
+                if gpat:
+                    gs = sorted(glob.glob(gpat.format(r=r)))
+                    if gs:
+                        gt = pio.read_vecs(gs[0])
+            except Exception as e:
+                print(f"[bench] skipping unreadable dataset {bs[0]}: {e}",
+                      flush=True)
+                continue
             return X, Q, gt, name
     return None
 

@@ -528,7 +528,10 @@ def _polish_misassigned(data_f32, n, members: np.ndarray, cents, C: int,
     seconds, not minutes), and move each flagged point into its exact
     nearest cluster WITH FREE CAPACITY by the same distance-priority
     rank rounds the balancer uses. Points whose exact candidates are all
-    full keep their current slot (capacity-displaced, not misrouted)."""
+    full fall back to their current (vacated) slot — capacity-displaced,
+    not misrouted — via a last-priority candidate column; only the rare
+    mover whose vacated slot was meanwhile taken by a sibling mover
+    lands in the emptiest free cluster."""
     pt2c = np.full(data_f32.shape[0], -1, np.int32)
     rowsc = np.repeat(np.arange(C, dtype=np.int32), members.shape[1])
     vmask = members.reshape(-1) >= 0
@@ -571,7 +574,13 @@ def _polish_misassigned(data_f32, n, members: np.ndarray, cents, C: int,
     if not len(flagged):
         return members
     # free the movers' current slots (compact rows left), then rank-round
-    # placement into their exact candidates under capacity
+    # placement into their exact candidates under capacity; the mover's
+    # CURRENT cluster is appended as a last-priority candidate column
+    # (ADVICE r4): its vacated slot is router-chosen and near, strictly
+    # better than an arbitrary emptiest cluster, so a mover whose exact
+    # candidates are all full returns home unless siblings took the slot
+    eids = np.concatenate(
+        [eids, pt2c[flagged][:, None].astype(eids.dtype)], axis=1)
     is_mover = np.zeros(data_f32.shape[0], bool)
     is_mover[flagged] = True
     keep = ~((members >= 0) & is_mover[np.clip(members, 0, None)])
@@ -619,8 +628,8 @@ def _polish_misassigned(data_f32, n, members: np.ndarray, cents, C: int,
 
 
 def _teleport_centroids(data_f32, cents, nbr_ids: np.ndarray,
-                        nbr_d: np.ndarray, C: int, m: int,
-                        *, rng) -> tuple[jax.Array, int]:
+                        nbr_d: np.ndarray, C: int,
+                        m: int) -> tuple[jax.Array, int]:
     """Capacity-aware empty-cluster reseeding -> (cents, n_moved).
 
     TRIAL-balance at the true capacity m to find genuine starvation: the
@@ -1000,9 +1009,7 @@ class ClusterIndex:
                     # uncovered mass; underfull centroids from covered
                     # regions jump onto its spilled points.
                     cents, moved = _teleport_centroids(
-                        data, cents, nbr_ids, nbr_d, C, m,
-                        rng=np.random.default_rng(seed + 7000 + r),
-                    )
+                        data, cents, nbr_ids, nbr_d, C, m)
                 if verbose:
                     spilled = int((members >= 0).sum() - (local >= 0).sum())
                     # router fidelity probe: exact-assign a 4K sample and

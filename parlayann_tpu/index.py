@@ -14,6 +14,7 @@ precision (beamSearch.h:394-454).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -56,12 +57,13 @@ def _entry_top1(q, evecs, eids, *, metric: Metric):
 @_partial(
     jax.jit,
     static_argnames=("metric", "tier_bits", "k", "L", "cut", "limit",
-                     "n_valid", "pool", "ladder_spec", "use_entry"),
+                     "n_valid", "pool", "ladder_spec", "use_entry",
+                     "dedup"),
 )
 def _fused_search_1d(
     q_full, evecs, eids, starts, slope, offset, tier_data, ext,
     points_full, *, metric, tier_bits, k, L, cut, limit, n_valid, pool,
-    ladder_spec, use_entry,
+    ladder_spec, use_entry, dedup="loop",
 ):
     """The whole fused-path search as ONE jitted program: entry top-1 (or
     caller starts) -> query translation into the tier domain -> fused
@@ -83,7 +85,7 @@ def _fused_search_1d(
     fid, fdist, nv, cmps, n_left = beam_search_fused(
         q_t.astype(jnp.float32), tier_data, ext, starts, metric=metric,
         n_valid=n_valid, k=k, L=L, cut=cut, limit=limit,
-        ladder_spec=ladder_spec,
+        ladder_spec=ladder_spec, dedup=dedup,
     )
     ids, dists = rerank_topk(
         qf, points_full, fid, k=k, pool=pool, metric=metric,
@@ -398,6 +400,9 @@ class Index:
                     metric=tier.metric, tier_bits=tier.bits, k=k, L=L,
                     cut=qp.cut, limit=qp.limit, n_valid=tier.n, pool=pool,
                     ladder_spec=self.ladder_spec, use_entry=entry_start,
+                    # resolved per CALL (not per trace): flipping the env
+                    # mid-process re-keys the jit cache (ADVICE r4)
+                    dedup=os.environ.get("PARLAYANN_DEDUP", "loop"),
                 )
                 res = FusedResult(ids, dists, nv, cmps, n_left)
                 return ids, dists, res

@@ -244,7 +244,7 @@ def _step_kernel(
     obdist, obpack, onv, ocmps, onext,  # outputs
     vmem, sems, cdbuf, cibuf,  # scratch
     *, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit, block_b, G, n_buf,
-    ablate="full",
+    ablate="full", dedup="loop",
 ):
     bi = pl.program_id(0)
     n_grp = block_b // G
@@ -351,7 +351,7 @@ def _step_kernel(
             bi=bi, g0=g0,
             R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
             metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
-            n_buf=n_buf, ablate=ablate,
+            n_buf=n_buf, ablate=ablate, dedup=dedup,
         )
 
 
@@ -360,7 +360,7 @@ def _step_body(
     inline_hbm, obdist, obpack, onv, ocmps, onext,
     vmem, sems, cdbuf, cibuf, dma_start, dma_wait, lookahead,
     *, bi, g0, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit, block_b,
-    G, n_buf, ablate,
+    G, n_buf, ablate, dedup="loop",
 ):
     n_grp = block_b // G
 
@@ -455,7 +455,8 @@ def _step_body(
     # dedup against the beam (hashless exactness argument in
     # search/beam.py): a candidate already present in the beam is
     # dropped, the beam copy (with its expanded flag) wins.
-    # Two modes (PARLAYANN_DEDUP, trace-time):
+    # Two modes (the ``dedup`` static arg; the PARLAYANN_DEDUP env var is
+    # resolved per call at the Index boundary, never at trace time):
     #   "loop" — direct compare against each of the Wb beam lanes. Exact,
     #     but Wb vector passes over the (block_b, Rp) candidate tile on
     #     1/4-utilized vregs: the LARGEST phase-B term at Wb<=32.
@@ -466,7 +467,7 @@ def _step_body(
     #     marked there (_dedup_merged, windowed for the ulp-off seed
     #     case) + one segmented cleanup sort — O(log^2) packed stages
     #     instead of Wb unpacked passes.
-    _dedup = os.environ.get("PARLAYANN_DEDUP", "loop")
+    _dedup = dedup
     if _dedup != "merge":
         bid = jax.lax.shift_right_logical(bpack, 1)
         dup = jnp.zeros(cd.shape, bool)
@@ -570,7 +571,7 @@ def _step_body(
     jax.jit,
     static_argnames=("R8", "Rp", "d", "Wb", "L", "k", "n_valid", "metric",
                      "cut", "limit", "block_b", "G", "n_buf", "interpret",
-                     "ablate"),
+                     "ablate", "dedup"),
 )
 def fused_step(
     exp_ids,  # (B,) int32 (-1 = frozen)
@@ -582,6 +583,7 @@ def fused_step(
     inline_ext,  # (n_pad, R8 + 8, d) int8
     *, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit,
     block_b=512, G=16, n_buf=8, interpret=False, ablate="full",
+    dedup="loop",
 ):
     B = queries.shape[0]
     if jax.default_backend() != "tpu":
@@ -592,7 +594,7 @@ def fused_step(
     kernel = functools.partial(
         _step_kernel, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
         metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
-        n_buf=n_buf, ablate=ablate,
+        n_buf=n_buf, ablate=ablate, dedup=dedup,
     )
     grid = (B // block_b,)
 
@@ -634,7 +636,7 @@ def fused_step(
     jax.jit,
     static_argnames=("metric", "n_valid", "k", "L", "cut", "limit",
                      "max_steps", "block_b", "G", "n_buf", "compact",
-                     "ladder_spec"),
+                     "ladder_spec", "dedup"),
 )
 def beam_search_fused(
     queries,  # (B, d) — queries in the TIER's domain, f32 values
@@ -654,6 +656,7 @@ def beam_search_fused(
     n_buf: int = 8,
     compact: bool = True,
     ladder_spec: tuple = (),
+    dedup: str = "loop",
 ):
     """Drive ``fused_step`` to convergence -> (beam_ids (B, L) int32,
     beam_dists (B, L) f32, num_visited, dist_cmps, n_left). The while loop
@@ -756,7 +759,7 @@ def beam_search_fused(
         step = functools.partial(
             fused_step, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
             metric=metric, cut=cut, limit=limit, block_b=blocks(width), G=G,
-            n_buf=n_buf,
+            n_buf=n_buf, dedup=dedup,
         )
 
         def cond(state):
@@ -847,6 +850,22 @@ def beam_search_fused(
         nv = jnp.take(nv, inv, axis=0)
         cmps = jnp.take(cmps, inv, axis=0)
 
+    if dedup == "merge":
+        # final-pool exact id-dedup (ADVICE r4): a SEED entry whose
+        # XLA-path distance is a few ulp off the kernel's can slip the
+        # windowed in-kernel compare, leaving the same vertex alive twice
+        # in the beam — both copies could reach the final top-k. Two
+        # lane sorts on (B, Wb) are ~free; sort by (id, dist), kill the
+        # later copies, restore dist order.
+        bid = jax.lax.shift_right_logical(bpack, 1)
+        sid, sd2, spk = jax.lax.sort(
+            (bid, bdist, bpack), num_keys=2, is_stable=True
+        )
+        dupf = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), sid[:, 1:] == sid[:, :-1]], axis=1
+        )
+        sd2 = jnp.where(dupf, _INF, sd2)
+        bdist, bpack = jax.lax.sort((sd2, spk), num_keys=1, is_stable=True)
     out_ids = jnp.where(
         bdist[:, :L] < _INF,
         jax.lax.shift_right_logical(bpack[:, :L], 1), -1
@@ -857,7 +876,7 @@ def beam_search_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "n_valid", "L", "vmax", "block_b", "G",
-                     "n_buf"),
+                     "n_buf", "dedup"),
 )
 def build_beam_fused(
     queries,  # (B, d) f32 values already in the tier's domain
@@ -872,6 +891,7 @@ def build_beam_fused(
     block_b: int = 512,
     G: int = 16,
     n_buf: int = 8,
+    dedup: str = "loop",
 ):
     """Insertion-search read phase for graph builds, on the fused kernel.
 
@@ -957,7 +977,7 @@ def build_beam_fused(
     step = functools.partial(
         fused_step, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=0, n_valid=n_valid,
         metric=metric, cut=0.0, limit=limit, block_b=block_b, G=G,
-        n_buf=n_buf,
+        n_buf=n_buf, dedup=dedup,
     )
 
     def body(carry, _):

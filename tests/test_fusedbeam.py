@@ -246,3 +246,43 @@ def test_dedup_merged_semantics():
     # min pack survives: id 7 keeps 14 (expanded), id 5 keeps 10
     assert op[live].tolist() == [14, 7, 10]
     assert np.all(np.diff(od[live]) >= 0)
+
+
+def test_fused_beam_dedup_modes_agree(rng):
+    """dedup="merge" end-to-end equals dedup="loop" (now an explicit
+    static argument, ADVICE r4 — no trace-time env read), and merge-mode
+    final ids are duplicate-free even when seed distances come from the
+    ulp-divergent XLA path."""
+    n, d, R, B, L, k = 400, 64, 16, 32, 12, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    ps = PointSet.from_numpy(X)
+    qps = quantize.quantize_pointset(ps, bits=8)
+    nbrs = np.empty((n, R), np.int32)
+    for i in range(n):
+        nbrs[i] = rng.choice(n, R, replace=False)
+    nbrs = jnp.asarray(nbrs)
+    degs = jnp.full((n,), R, jnp.int32)
+    Qf = rng.standard_normal((B, d)).astype(np.float32)
+    q_t = quantize.translate_query(jnp.asarray(Qf), qps).astype(jnp.float32)
+    # multi-start seeds exercise the seed-vs-kernel distance path
+    starts = jnp.asarray(rng.choice(n, 4, replace=False).astype(np.int32))
+
+    out = {}
+    for mode in ("loop", "merge"):
+        fid, fdist, fnv, fcmps, n_left = beam_search_fused(
+            q_t, qps.data, build_inline_ext(qps.data, nbrs, degs), starts,
+            metric=Metric.L2, n_valid=n, k=k, L=L, G=8, block_b=32,
+            dedup=mode,
+        )
+        assert int(n_left) == 0
+        out[mode] = (np.asarray(fid), np.asarray(fdist))
+    li, ld = out["loop"]
+    mi, md = out["merge"]
+    big = 1e37
+    np.testing.assert_allclose(
+        np.where(ld > big, 0, ld), np.where(md > big, 0, md), rtol=1e-5
+    )
+    for b in range(B):
+        valid = mi[b][mi[b] >= 0]
+        assert len(valid) == len(set(valid.tolist())), b
+        assert set(valid[:k]) == set(li[b][li[b] >= 0][:k]), b
