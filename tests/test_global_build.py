@@ -111,8 +111,8 @@ def test_collective_volume_report():
     sites, total = collective_volume_report(
         100_000, 8, R=32, L=64, dim=128, batch=4096, print_table=False,
     )
-    assert total > 0 and len(sites) == 8
-    # owner-partitioned overflow (r4): at the VERDICT shapes
+    assert total > 0 and len(sites) == 10
+    # load-balanced overflow (r5): at the VERDICT shapes
     # (B=4096, R=64, d=128) with the q8 wire format and typical runtime
     # counts (converged hops, ~B/D overflow targets/device), the whole
     # batch exchange fits under 1 GB/device — the r3 design's overflow
@@ -126,3 +126,15 @@ def test_collective_volume_report():
     # the per-hop candidate-id replication is now the dominant term
     assert max(sites_t.values()) == sites_t[
         "beam: psum cand ids+deg   (B,E,R+1)"]
+    # WORST case at the same shapes: round-robin balancing bounds every
+    # device's overflow walk by ceil(min(M, n)/D) whatever the batch
+    # skew — 14.4 GB/batch (q8) in the r4 owner-partitioned design, now
+    # under 5 GB. (The VERDICT "ship (chunk, C) scalars" sketch can't
+    # beat this: occlusion needs selected-vs-candidate pairwise
+    # distances, and a (C, C) scalar matrix is >= the q8 vector payload
+    # whenever C >= d.)
+    _, total_w = collective_volume_report(
+        1_000_000, 8, R=64, L=128, dim=128, batch=4096,
+        itemsize_vec=1, print_table=False,
+    )
+    assert total_w < 5e9, total_w
