@@ -94,14 +94,31 @@ class HNSWIndex:
     def _base_index(self):
         """Lazy Index over the level-0 graph: q8 tier + extended inline
         rows feed the fused Pallas beam kernel; rerank restores
-        precision."""
+        precision. When level 1 is MXU-sized, its members become the
+        Index ENTRY TIER, so the hierarchy's entry computation folds into
+        the same single dispatch the Vamana path runs (exact top-1 over
+        level-1 is a strictly better entry than the greedy upper-level
+        walk, HNSW.hpp:1532-1567, and the separate entry dispatch was
+        one of the relay round-trips that capped HNSW at ~40-80K QPS
+        while Vamana did 750K on the same kernel)."""
         if self._bidx is None:
             from parlayann_tpu.index import Index
 
             self._bidx = Index(
                 points=self.points, graph=self.base_graph()
             ).enable_quantized(bits=8)
+            if self.max_level > 0 and self._entry_foldable():
+                mem = self.levels[1].members.astype(np.int32)
+                self._bidx.entry_ids = jnp.asarray(mem)
+                self._bidx.entry_vecs = jnp.take(
+                    self.points.data, self._bidx.entry_ids, axis=0
+                )
+                self._bidx.entry_min_n = 0
         return self._bidx
+
+    def _entry_foldable(self) -> bool:
+        return (self.max_level > 0
+                and len(self.levels[1].members) <= 512 * 1024)
 
     def batch_search(self, queries, k: int = 10, ef: int = 64,
                      cut: float = 1.35, expand: int = 1):
@@ -112,6 +129,15 @@ class HNSWIndex:
         # jitted program over all upper levels (their arrays are tiny and
         # stay on device; the round-2 per-level dispatch + np.asarray
         # readback cost ~4 relay round-trips per query batch -> 16K QPS)
+        L = max(ef, k)
+        if expand == 1 and self._entry_foldable():
+            # entry tier = level-1 members (see _base_index): the exact
+            # top-1 entry, the beam, the ladder and the rerank are ONE
+            # dispatch — identical structure to the Vamana fused path
+            ids, dists, _ = self._base_index().batch_search(
+                q, k=k, beam_size=L, cut=cut,
+            )
+            return ids, dists
         S = 1
         while S < len(self.entrances):
             S *= 2
@@ -147,7 +173,6 @@ class HNSWIndex:
         # search/fused.py). The round-3 path called beam_search_fused +
         # rerank as separate dispatches without the ladder and sat at
         # 120K QPS while the same graph machinery did 750K on vamana.
-        L = max(ef, k)
         idx = self._base_index()
         if expand == 1:
             ids, dists, _ = idx.batch_search(
@@ -161,6 +186,20 @@ class HNSWIndex:
             k=k, L=L, cut=cut, expand=expand,
         )
         return top_k_from_beam(res, k)
+
+    def batch_search_timed(self, queries, k: int = 10, ef: int = 64,
+                           cut: float = 1.35, warmup: bool = True,
+                           rounds: int = 1):
+        """Amortized timing through the fused path (R back-to-back
+        dispatches + one fence, Index.batch_search_timed semantics) ->
+        (ids, dists, res, seconds-per-round). Requires the foldable-entry
+        regime (level 1 MXU-sized) so the whole search is one dispatch."""
+        if not self._entry_foldable():
+            raise ValueError("timed path requires a foldable level-1 entry")
+        return self._base_index().batch_search_timed(
+            queries, warmup=warmup, rounds=rounds,
+            k=k, beam_size=max(ef, k), cut=cut,
+        )
 
     def base_graph(self) -> GraphIndexData:
         """The level-0 graph as a standard GraphIndexData (level-0 local ids

@@ -134,14 +134,10 @@ def main():
         print(f"HNSW build: {dt:.2f}s", flush=True)
         for ef in (12, 16, 22, 30, 50):
             best = 1e9
-            ids = idx.batch_search(Q, k=10, ef=ef)[0]  # warmup/compile
-            _ = np.asarray(ids[:1])
             for r in range(3):
-                t0 = time.perf_counter()
-                for _r in range(rounds):
-                    ids, _ = idx.batch_search(Q, k=10, ef=ef)
-                _ = np.asarray(ids[:1])
-                best = min(best, (time.perf_counter() - t0) / rounds)
+                ids, _, _, dt = idx.batch_search_timed(
+                    Q, k=10, ef=ef, warmup=(r == 0), rounds=rounds)
+                best = min(best, dt)
             rec = compute_recall(np.asarray(ids), gt_ids, gt_dists, 10)
             print(f"HNSW ef={ef}: recall={rec:.4f} QPS={nq/best:,.0f}",
                   flush=True)
