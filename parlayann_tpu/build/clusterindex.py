@@ -434,23 +434,42 @@ def _respill_local(data_f32, n, members, nbr_ids, cents, C, m, metric,
         quant = (_meta_quantizer(sub, len(free), metric, seed=it)
                  if float(min(ch, len(pending))) * len(free) > 4e10
                  else None)
+        if quant is None:
+            # FIXED-SHAPE passes (r5): bucket the free-centroid count
+            # and the pending list to powers of two. The raw data-
+            # dependent shapes recompiled _assign_all once per pass per
+            # build through the ~20-60s remote compile service — the
+            # entire 46s-vs-1.2s uniform/clustered build gap at 100K
+            # (BENCH_r04 hard_distributions): the FLOPs are identical,
+            # clustered data just never spills. Centroid pad rows sit at
+            # 1e15 so their distances (~1e32) can never be selected.
+            Cf = 1 << max(3, int(len(free) - 1).bit_length())
+            sub = jnp.concatenate(
+                [sub, jnp.full((Cf - len(free), sub.shape[1]), 1e15,
+                               sub.dtype)], axis=0)
+            npend = 1 << max(10, int(len(pending) - 1).bit_length())
+            pend_pad = np.pad(pending, (0, npend - len(pending)),
+                              mode="edge")
+        else:
+            pend_pad = pending
         ids_l, d_l = [], []
-        for off in range(0, len(pending), ch):
-            pc = pending[off:off + ch]
+        for off in range(0, len(pend_pad), ch):
+            pc = pend_pad[off:off + ch]
             pvec = jnp.take(data_f32, jnp.asarray(pc, dtype=np.int32),
                             axis=0)
             if quant is not None and float(len(pc)) * len(free) > 4e10:
                 i_, d_ = approx_assign(pvec, len(pc), sub, len(free),
                                        kk, metric, seed=it, quantizer=quant)
             else:
-                i_, d_ = _assign_all(pvec, len(pc), sub, len(free), kk,
-                                     metric)
+                i_, d_ = _assign_all(pvec, len(pc), sub, int(sub.shape[0]),
+                                     kk, metric)
             ids_l.append(i_)
             d_l.append(d_)
-        ids = np.concatenate(ids_l)
-        d = np.concatenate(d_l)
+        ids = np.concatenate(ids_l)[: len(pending)]
+        d = np.concatenate(d_l)[: len(pending)]
         gids = free[np.clip(ids, 0, len(free) - 1)]
-        gids = np.where(ids >= 0, gids, -1).astype(np.int64)
+        gids = np.where((ids >= 0) & (ids < len(free)), gids,
+                        -1).astype(np.int64)
         order = np.argsort(d[:, 0], kind="stable")
         placed = np.zeros(len(pending), bool)
         for j in range(kk):
