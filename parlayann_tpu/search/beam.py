@@ -127,7 +127,19 @@ def beam_search_batch(
     init_state: Optional[tuple] = None,
     bits: int = 32,
     expand_group: int = 1,
+    filter_data: Optional[jax.Array] = None,  # (n_pad, d) cheap-tier rows
+    filter_queries: Optional[jax.Array] = None,  # (B, d) tier-domain queries
 ) -> BeamResult:
+    """(See module docstring.) ``filter_data``/``filter_queries`` enable
+    the reference's mid-beam two-tier filter (beamSearch.h:119-146): a
+    RUNNING MEAN of the cheap-tier distance to the frontier's worst entry
+    is maintained once the frontier fills, and candidates whose
+    cheap-tier distance exceeds it are dropped before the full-precision
+    distance. On CPU this saves full-precision distance calls; in this
+    lock-step design every lane is computed regardless, so the mode
+    exists to A/B the reference's mixed-precision OPERATING POINT
+    (f32 walk + cheap filter) against the cheap-walk + rerank default —
+    it changes which candidates enter the beam, not the step cost."""
     B, d = queries.shape
     R = int(nbrs.shape[1])
     rwidth = min(R, degree_limit)
@@ -136,6 +148,7 @@ def beam_search_batch(
     limit = min(limit, n_valid)
     brow_l = jnp.arange(L, dtype=jnp.int32)[None, :]
     have_inline = inline is not None and use_inline
+    use_filtering = filter_data is not None and filter_queries is not None
 
     if starts.ndim == 1:
         starts = jnp.broadcast_to(starts[None, :], (B, starts.shape[0]))
@@ -191,7 +204,12 @@ def beam_search_batch(
         done = ~jnp.any(beam_dists < INF, axis=1)
 
     def body(state):
-        beam_ids, beam_dists, beam_exp, num_visited, dist_cmps, done = state
+        if use_filtering:
+            (beam_ids, beam_dists, beam_exp, num_visited, dist_cmps, done,
+             f_sum, f_cnt) = state
+        else:
+            (beam_ids, beam_dists, beam_exp, num_visited, dist_cmps,
+             done) = state
         active = ~done
 
         # -- 1. mark + extract the E closest unexpanded entries (no scatter:
@@ -230,6 +248,31 @@ def beam_search_batch(
         if exclude_self and self_ids is not None:
             cand_valid &= cand_ids != self_ids[:, None]
         dist_cmps_new = dist_cmps + jnp.sum(cand_valid, axis=1).astype(jnp.int32)
+
+        if use_filtering:
+            # running-mean two-tier filter (beamSearch.h:119-146): the
+            # mean accumulates the cheap-tier distance to the frontier's
+            # WORST entry each step once the frontier is full (the
+            # reference updates the mean before filtering in the same
+            # iteration), then candidates at or beyond it are dropped
+            # before the full-precision distance
+            frontier_full = beam_dists[:, L - 1] < INF
+            back_id = jnp.clip(beam_ids[:, L - 1], 0,
+                               filter_data.shape[0] - 1)
+            bvec = jnp.take(filter_data, back_id, axis=0)
+            cheap_back = distance.gathered(
+                filter_queries, bvec[:, None, :], metric)[:, 0]
+            upd = active & frontier_full
+            f_sum = f_sum + jnp.where(upd, cheap_back, 0.0)
+            f_cnt = f_cnt + upd.astype(jnp.int32)
+            thr = f_sum / jnp.maximum(f_cnt, 1).astype(jnp.float32)
+            cvec = jnp.take(
+                filter_data,
+                jnp.clip(cand_ids, 0, filter_data.shape[0] - 1), axis=0)
+            cheap_c = distance.gathered(filter_queries, cvec, metric)
+            drop = (frontier_full & (f_cnt > 0))[:, None] & (
+                cheap_c >= thr[:, None])
+            cand_valid &= ~drop
 
         if have_inline:
             # bits==1 runs the flat packed-word hamming kernel (the inline
@@ -298,9 +341,14 @@ def beam_search_batch(
             jnp.where(active, dist_cmps_new, dist_cmps),
             new_done,
         )
+        if use_filtering:
+            out = out + (f_sum, f_cnt)
         return out, (exp_ids, exp_dists, valid_e & active[:, None])
 
     state = (beam_ids, beam_dists, beam_exp, num_visited, dist_cmps, done)
+    if use_filtering:
+        state = state + (jnp.zeros((B,), jnp.float32),
+                         jnp.zeros((B,), jnp.int32))
 
     if record_visited:
         # fixed trip count; scan stacks the per-step expansions -> visited
@@ -324,12 +372,12 @@ def beam_search_batch(
             return body(state)[0]
 
         state = jax.lax.while_loop(
-            lambda s: jnp.any(~s[-1]), while_body, state
+            lambda s: jnp.any(~s[5]), while_body, state
         )
         vis_ids = jnp.zeros((B, 1), dtype=jnp.int32)
         vis_dists = jnp.full((B, 1), INF, dtype=jnp.float32)
 
-    beam_ids, beam_dists, beam_exp, num_visited, dist_cmps, done = state
+    beam_ids, beam_dists, beam_exp, num_visited, dist_cmps, done = state[:6]
     converged = ~_has_work(beam_dists, beam_exp, k, L, cut, metric)
     out_ids = jnp.where(beam_dists < INF, beam_ids, -1)
     return BeamResult(out_ids, beam_dists, vis_ids, vis_dists, num_visited,

@@ -229,3 +229,45 @@ def test_index_entry_tier(rng):
     r_medoid = _recall(np.asarray(ids2), np.asarray(gt_ids))
     assert r_entry >= r_medoid - 0.02
     assert r_entry > 0.8
+
+
+def test_beam_two_tier_filter(rng):
+    """Mid-beam two-tier filter (beamSearch.h:119-146): the running-mean
+    cheap-tier prune must (a) keep recall within noise of the unfiltered
+    walk on an easy graph, (b) actually drop candidates (visible as a
+    num_visited/beam difference on at least one query), and (c) never
+    return duplicate or unsorted results."""
+    n, d, k = 600, 16, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((40, d)).astype(np.float32)
+    ps = PointSet.from_numpy(x)
+    g = _knn_graph(ps, 10)
+    gt_ids, _ = exact.exact_knn(q, ps, k, chunk=64)
+    # a deliberately coarse cheap tier (half the dims) guarantees real
+    # tier disagreement so the filter's effect is observable; the q8
+    # production tier agrees so closely with f32 that the running-mean
+    # threshold (a mean of PAST frontier-worsts, >= the current worst
+    # the cutoff already applies) almost never fires
+    fd = jnp.asarray(x[:, :8])
+    fq = jnp.asarray(q[:, :8])
+
+    kw = dict(metric=Metric.L2, n_valid=n, k=k, L=32)
+    starts = jnp.asarray([0], dtype=jnp.int32)
+    res0 = beam_search_batch(jnp.asarray(q), ps.data, g.neighbors,
+                             g.degrees, starts, **kw)
+    resf = beam_search_batch(
+        jnp.asarray(q), ps.data, g.neighbors, g.degrees, starts,
+        filter_data=fd, filter_queries=fq, **kw)
+    r0 = _recall(np.asarray(top_k_from_beam(res0, k)[0]), np.asarray(gt_ids))
+    rf = _recall(np.asarray(top_k_from_beam(resf, k)[0]), np.asarray(gt_ids))
+    assert rf >= r0 - 0.15, (r0, rf)
+    # the filter is not a no-op: some walk diverges
+    assert (np.asarray(res0.num_visited) != np.asarray(resf.num_visited)).any() \
+        or (np.asarray(top_k_from_beam(res0, 32)[0])
+            != np.asarray(top_k_from_beam(resf, 32)[0])).any()
+    ids, dists = top_k_from_beam(resf, k)
+    dd = np.asarray(dists)
+    assert np.all(np.diff(dd, axis=1) >= 0)
+    for row in np.asarray(ids):
+        valid = row[row >= 0]
+        assert len(set(valid.tolist())) == len(valid)
