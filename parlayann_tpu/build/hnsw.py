@@ -499,15 +499,39 @@ def _insert_at_level_dev(
     starts = jnp.where(eg >= 0, lv_glob2loc_d[jnp.clip(eg, 0, None)], -1)
     q = jnp.take(points_data, jnp.clip(batch_glob, 0, None), axis=0)
 
-    res = beam_search_batch(
-        q, lv_points, lv_nbrs, lv_degs, starts, loc,
-        metric=metric, n_valid=n_valid, k=0, L=efc,
-        exclude_self=True,
-    )
+    if n_valid <= 8192:
+        # MXU-sized level: the efc-beam needs ~efc SEQUENTIAL steps no
+        # matter how small the level is (step-count-bound — measured
+        # ~30% of the 100K build in diag_hnsw_build), while one flat
+        # matmul scan returns the EXACT top-efc candidate set (a strict
+        # quality upgrade over the graph walk the reference runs,
+        # HNSW.hpp:869-881; select_neighbors semantics unchanged)
+        from parlayann_tpu.search.flat import flat_search_batch
+
+        kf = min(efc, n_valid)
+        cand_ids, cand_d = flat_search_batch(
+            q.astype(jnp.float32), lv_points, exclude_ids=loc,
+            k=kf, metric=metric, n_valid=n_valid,
+            chunk=min(lv_points.shape[0], 8192),
+        )
+        if kf < efc:  # keep the efc candidate width the prune expects
+            cand_ids = jnp.pad(cand_ids, ((0, 0), (0, efc - kf)),
+                               constant_values=-1)
+            cand_d = jnp.pad(cand_d, ((0, 0), (0, efc - kf)),
+                             constant_values=INF)
+        beam_ids = jnp.where(cand_d < INF, cand_ids, -1)
+        beam_dists = cand_d
+    else:
+        res = beam_search_batch(
+            q, lv_points, lv_nbrs, lv_degs, starts, loc,
+            metric=metric, n_valid=n_valid, k=0, L=efc,
+            exclude_self=True,
+        )
+        beam_ids, beam_dists = res.beam_ids, res.beam_dists
     # forward edges: alpha-prune the efc frontier (select_neighbors)
     pr = robust_prune_chunked(
-        loc, res.beam_ids,
-        jnp.where(res.beam_ids >= 0, res.beam_dists, INF),
+        loc, beam_ids,
+        jnp.where(beam_ids >= 0, beam_dists, INF),
         lv_points, alpha_arr, R=m_fwd, metric=metric,
         n_valid=n_valid,
     )
@@ -526,7 +550,7 @@ def _insert_at_level_dev(
         alpha_arr, R=cap, metric=metric,
         n_valid=n_valid, prune_budget=-1,
     )
-    closest = res.beam_ids[:, 0]
+    closest = beam_ids[:, 0]
     entry_next = jnp.where(
         ins_mask & (closest >= 0),
         lv_members_d[jnp.clip(closest, 0, None)], entry_glob[:, 0],
@@ -656,17 +680,54 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
                     entry_d,
                 )
             if ins_mask.any():
-                lv.nbrs, lv.degs, entry_next = _insert_at_level_dev(
-                    lv.points_l, lv.nbrs, lv.degs, lv.members_d,
-                    lv.glob2loc_d, build_ps.data, bg_d, entry_d,
-                    jnp.asarray(ins_mask), a_vam,
-                    n_valid=len(lv.members), efc=efc, m_fwd=m,
-                    metric=points.metric,
-                )
-                entry_d = jnp.where(
-                    jnp.asarray(ins_mask)[:, None], entry_next[:, None],
-                    entry_d,
-                )
+                if l > 0 and int(ins_mask.sum()) <= bw // 4:
+                    # upper levels insert a geometric fraction of the
+                    # batch (~e^{-l/m_l}); running the FULL batch width
+                    # through the efc-beam against a few-hundred-node
+                    # level was ~30% of total build time at 100K
+                    # (diag_hnsw_build). The inserting rows are known on
+                    # the HOST (blev is host data), so compact them into
+                    # a pow2-bucketed sub-batch — gather in, insert,
+                    # scatter the entries back; no device readback.
+                    rows = np.flatnonzero(ins_mask).astype(np.int32)
+                    sw = upper_bucket
+                    while sw < len(rows):
+                        sw *= 2
+                    # pad rows point at index bw: out of range, so the
+                    # scatter-back drops them and the gather clips to a
+                    # row the sub_mask already disables
+                    rows_pad = np.full(sw, bw, dtype=np.int32)
+                    rows_pad[: len(rows)] = rows
+                    rd = jnp.asarray(rows_pad)
+                    sub_mask = np.zeros(sw, dtype=bool)
+                    sub_mask[: len(rows)] = True
+                    lv.nbrs, lv.degs, entry_sub = _insert_at_level_dev(
+                        lv.points_l, lv.nbrs, lv.degs, lv.members_d,
+                        lv.glob2loc_d, build_ps.data,
+                        jnp.take(bg_d, rd), jnp.take(entry_d, rd, axis=0),
+                        jnp.asarray(sub_mask), a_vam,
+                        n_valid=len(lv.members), efc=efc, m_fwd=m,
+                        metric=points.metric,
+                    )
+                    upd = jnp.zeros((bw,), jnp.int32).at[rd].set(
+                        jnp.asarray(sub_mask, jnp.int32), mode="drop")
+                    ent_new = jnp.zeros((bw,), jnp.int32).at[rd].set(
+                        jnp.where(jnp.asarray(sub_mask), entry_sub, 0),
+                        mode="drop")
+                    entry_d = jnp.where(
+                        (upd > 0)[:, None], ent_new[:, None], entry_d)
+                else:
+                    lv.nbrs, lv.degs, entry_next = _insert_at_level_dev(
+                        lv.points_l, lv.nbrs, lv.degs, lv.members_d,
+                        lv.glob2loc_d, build_ps.data, bg_d, entry_d,
+                        jnp.asarray(ins_mask), a_vam,
+                        n_valid=len(lv.members), efc=efc, m_fwd=m,
+                        metric=points.metric,
+                    )
+                    entry_d = jnp.where(
+                        jnp.asarray(ins_mask)[:, None], entry_next[:, None],
+                        entry_d,
+                    )
         # entrance update (HNSW.hpp:991-1007): replace on a strictly higher
         # level, append the batch's highest node on a tie
         top = int(blev.max())
