@@ -144,6 +144,22 @@ def expand_distances(
     ``bits=1``: packed-word hamming path (inline + queries are uint32)."""
     B0, d = queries.shape
     R = inline.shape[1]
+    # the (B,) expand_ids ride in as a SCALAR PREFETCH operand, which
+    # Mosaic stages through the 1 MiB SMEM: past ~256K rows the compile
+    # fails ("allocation would exceed memory (size=1048576)", hit by 1M
+    # build batches). Split oversized calls into row chunks.
+    _SMEM_ROWS = 1 << 17
+    if B0 > _SMEM_ROWS:
+        outs = [
+            expand_distances(
+                inline, expand_ids[off:off + _SMEM_ROWS],
+                queries[off:off + _SMEM_ROWS], metric=metric,
+                block_b=block_b, n_buf=n_buf, interpret=interpret,
+                group=group, bits=bits,
+            )
+            for off in range(0, B0, _SMEM_ROWS)
+        ]
+        return jnp.concatenate(outs, axis=0)
     # pad the batch so the query block tiles cleanly (sublane multiple of 8)
     block_b = max(8, min(block_b, ((B0 + 7) // 8) * 8))
     B = ((B0 + block_b - 1) // block_b) * block_b
@@ -297,6 +313,18 @@ def expand_bits_flat(
     mask by degree)."""
     B0, W = q_bits.shape
     rws = inline.shape[1]
+    # same SMEM scalar-prefetch bound as expand_distances: chunk wide calls
+    _SMEM_ROWS = 1 << 17
+    if B0 > _SMEM_ROWS:
+        outs = [
+            expand_bits_flat(
+                inline, expand_ids[off:off + _SMEM_ROWS],
+                q_bits[off:off + _SMEM_ROWS], block_b=block_b,
+                n_buf=n_buf, interpret=interpret, group=group,
+            )
+            for off in range(0, B0, _SMEM_ROWS)
+        ]
+        return jnp.concatenate(outs, axis=0)
     Wp = 1 << (W - 1).bit_length()
     if Wp != W:
         q_bits = jnp.pad(q_bits, ((0, 0), (0, Wp - W)))
