@@ -96,16 +96,20 @@ def main():
 
     # ---- C + baseline QPS: converged runs (amortized timing) ----
     log("== converged QPS / recall / visited (the headline numbers) ==")
-    for L in qs:
-        best = 1e9
-        for r in range(3):
-            ids, dists, res, dt = idx.batch_search_timed(
-                Qd, k=k, beam_size=L, rounds=rounds, warmup=(r == 0))
-            best = min(best, dt)
-        rec = compute_recall(np.asarray(ids), gt_ids, gt_d, k)
-        nv = float(np.mean(np.asarray(res.num_visited))) if hasattr(
-            res, "num_visited") else -1
-        log(f"Q={L}: recall={rec:.4f} QPS={nq/best:,.0f} mean_visited={nv:.1f}")
+    for dd in ("loop", "merge"):
+        os.environ["PARLAYANN_DEDUP"] = dd  # explicit arg, re-keys jit
+        for L in qs:
+            best = 1e9
+            for r in range(3):
+                ids, dists, res, dt = idx.batch_search_timed(
+                    Qd, k=k, beam_size=L, rounds=rounds, warmup=(r == 0))
+                best = min(best, dt)
+            rec = compute_recall(np.asarray(ids), gt_ids, gt_d, k)
+            nv = float(np.mean(np.asarray(res.num_visited))) if hasattr(
+                res, "num_visited") else -1
+            log(f"Q={L} dedup={dd}: recall={rec:.4f} QPS={nq/best:,.0f} "
+                f"mean_visited={nv:.1f}")
+    os.environ["PARLAYANN_DEDUP"] = "loop"
 
     # ---- A/B: fixed-step per-step cost via beam_search_fused ----
     tier = idx.qpoints
@@ -114,28 +118,56 @@ def main():
     starts = jnp.zeros((1,), jnp.int32)
     log("== fixed-step per-step cost (64 steps, no ladder) ==")
     for L in qs:
-        for bb in (0, 128, 256):  # 0 = auto (the clamp)
-            kw = dict(metric=tier.metric, n_valid=tier.n, k=k, L=L,
-                      max_steps=64, compact=False,
-                      ladder_spec=((1, 64),))
-            if bb:
-                kw["block_b"] = bb
-            try:
-                t_best = 1e9
-                for r in range(3):
-                    o = beam_search_fused(q_t, tier.data, ext, starts, **kw)
-                    jax.block_until_ready(o[0])
-                    t0 = time.perf_counter()
-                    for _ in range(rounds):
+        # suspects: the O(Wb)-pass loop dedup (512 passes at Q=350 vs
+        # the merge mode's O(log^2) packed stages) and the VMEM block
+        # clamp (block_b=16384/Wb collapses the DMA ring depth)
+        for dd in ("loop", "merge"):
+            for bb in (0, 128, 256):  # 0 = auto (the clamp)
+                kw = dict(metric=tier.metric, n_valid=tier.n, k=k, L=L,
+                          max_steps=64, compact=False,
+                          ladder_spec=((1, 64),), dedup=dd)
+                if bb:
+                    kw["block_b"] = bb
+                try:
+                    t_best = 1e9
+                    for r in range(3):
                         o = beam_search_fused(q_t, tier.data, ext, starts,
                                               **kw)
-                    _ = np.asarray(o[0][:1])
-                    t_best = min(t_best, (time.perf_counter() - t0) / rounds)
-                log(f"Q={L} block_b={bb or 'auto'}: {t_best*1e3:.2f} ms"
-                    f" ({t_best/64*1e6:.1f} us/step)")
-            except Exception as e:
-                log(f"Q={L} block_b={bb or 'auto'}: FAILED {type(e).__name__}"
-                    f" {str(e)[:120]}")
+                        jax.block_until_ready(o[0])
+                        t0 = time.perf_counter()
+                        for _ in range(rounds):
+                            o = beam_search_fused(q_t, tier.data, ext,
+                                                  starts, **kw)
+                        _ = np.asarray(o[0][:1])
+                        t_best = min(t_best,
+                                     (time.perf_counter() - t0) / rounds)
+                    log(f"Q={L} dedup={dd} block_b={bb or 'auto'}: "
+                        f"{t_best*1e3:.2f} ms"
+                        f" ({t_best/64*1e6:.1f} us/step)")
+                except Exception as e:
+                    log(f"Q={L} dedup={dd} block_b={bb or 'auto'}: FAILED "
+                        f"{type(e).__name__} {str(e)[:120]}")
+
+    # ---- E: exact flat MXU scan — the real high-recall operating point
+    # at this n (recall 1.0 by construction; if this beats every >= .95
+    # graph config, the routing rule is "flat when n*d is MXU-sized") ----
+    log("== exact flat scan (recall 1.0) ==")
+    from parlayann_tpu.search.flat import flat_search_batch
+    try:
+        t_best = 1e9
+        o = flat_search_batch(Qd, ps.data, k=k, metric=ps.metric, n_valid=n)
+        jax.block_until_ready(o[0])
+        for r in range(3):
+            t0 = time.perf_counter()
+            for _ in range(rounds):
+                o = flat_search_batch(Qd, ps.data, k=k, metric=ps.metric,
+                                      n_valid=n)
+            _ = np.asarray(o[0][:1])
+            t_best = min(t_best, (time.perf_counter() - t0) / rounds)
+        rec = compute_recall(np.asarray(o[0]), gt_ids, gt_d, k)
+        log(f"flat: recall={rec:.4f} QPS={nq/t_best:,.0f}")
+    except Exception as e:
+        log(f"flat: FAILED {type(e).__name__} {str(e)[:120]}")
 
     # ---- D: XLA lock-step path at the same operating points ----
     log("== XLA beam_search_batch A/B ==")
