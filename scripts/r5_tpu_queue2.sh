@@ -61,6 +61,9 @@ run vam10m       python scripts/bench_10m_vamana.py
 # fixed in ops/pallas/expand.py)
 run mips2_u8 python scripts/bench_mips_u8.py
 
+# (8b) jlbit re-run (queue1 run predates the SMEM chunking fix)
+run jlbit2 WHICH=jlbit python scripts/bench_1m_tiers.py
+
 # (9) final headline bench
 run bench_final python bench.py
 echo "=== [$(date +%H:%M:%S)] QUEUE2 COMPLETE"
