@@ -36,6 +36,7 @@ Model persistence: two formats, auto-detected by magic on load —
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 import struct
 import time
 from typing import Optional
@@ -475,12 +476,15 @@ def _descent_all(q, levels_args, entry, *, metric: Metric, nvs):
     return entry[:, 0]
 
 
-@_partial(jax.jit, static_argnames=("n_valid", "efc", "m_fwd", "metric"),
+@_partial(jax.jit,
+          static_argnames=("n_valid", "efc", "m_fwd", "metric", "expand"),
           donate_argnums=(1, 2))
 def _insert_at_level_dev(
     lv_points, lv_nbrs, lv_degs, lv_members_d, lv_glob2loc_d,
     points_data, batch_glob, entry_glob, ins_mask, alpha_arr,
+    inline=None, vmask=None,
     *, n_valid: int, efc: int, m_fwd: int, metric: Metric,
+    expand: int = 1,
 ):
     """Device-resident batch insert into one level (insert + set_neighbourhood
     + reverse, HNSW.hpp:869-1014). ``ins_mask`` masks which batch rows insert
@@ -508,9 +512,14 @@ def _insert_at_level_dev(
         # HNSW.hpp:869-881; select_neighbors semantics unchanged)
         from parlayann_tpu.search.flat import flat_search_batch
 
+        # scan ONLY already-inserted members (``vmask``): the beam path
+        # can reach only wired vertices, and an exact hit on a future
+        # (degree-0) member would flow down the entry chain and seed the
+        # next level's beam at a dead vertex — measured recall collapse
+        # .88 -> .16 at 12K before this mask
         kf = min(efc, n_valid)
         cand_ids, cand_d = flat_search_batch(
-            q.astype(jnp.float32), lv_points, exclude_ids=loc,
+            q.astype(jnp.float32), lv_points, vmask, exclude_ids=loc,
             k=kf, metric=metric, n_valid=n_valid,
             chunk=min(lv_points.shape[0], 8192),
         )
@@ -522,10 +531,16 @@ def _insert_at_level_dev(
         beam_ids = jnp.where(cand_d < INF, cand_ids, -1)
         beam_dists = cand_d
     else:
+        # ``expand`` > 1 amortizes the ~efc sequential single-expansion
+        # steps (the same batched-expansion economics as the Vamana
+        # build's PARLAYANN_BUILD_EXPAND); ``inline`` converts the
+        # candidate fetch from XLA row gathers to grouped Pallas DMA
         res = beam_search_batch(
             q, lv_points, lv_nbrs, lv_degs, starts, loc,
+            inline=inline,
             metric=metric, n_valid=n_valid, k=0, L=efc,
-            exclude_self=True,
+            exclude_self=True, expand=expand,
+            use_inline=inline is not None, expand_group=4,
         )
         beam_ids, beam_dists = res.beam_ids, res.beam_dists
     # forward edges: alpha-prune the efc frontier (select_neighbors)
@@ -619,6 +634,9 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
 
     order = rng.permutation(n).astype(np.int32)
     entrances = [int(order[0])]  # entrance list (HNSW.hpp:130)
+    # host-side inserted flags: the exact-scan candidate phase must see
+    # only already-wired members (batch-mates excluded, like the beam)
+    ins_flag = np.zeros(n, dtype=bool)
     ent_level = int(levels_of[entrances[0]])
 
     max_batch = min(max(int(bp.batch_cap_frac * n), 1), 1_000_000)
@@ -668,6 +686,11 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
             # only descend through levels the entrances actually reach
             desc_mask = ~ins_mask & (blev_pad >= 0) & (l <= ent_level)
             lv = levels[l]
+            vmask_d = None
+            if len(lv.members) <= 8192:  # the exact-scan regime
+                vm = np.zeros(lv.points_l.shape[0], dtype=bool)
+                vm[: len(lv.members)] = ins_flag[lv.members]
+                vmask_d = jnp.asarray(vm)
             if desc_mask.any() and l > 0:
                 entry_next = _descend_dev(
                     lv.points_l, lv.nbrs, lv.degs, lv.members_d,
@@ -705,7 +728,7 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
                         lv.points_l, lv.nbrs, lv.degs, lv.members_d,
                         lv.glob2loc_d, build_ps.data,
                         jnp.take(bg_d, rd), jnp.take(entry_d, rd, axis=0),
-                        jnp.asarray(sub_mask), a_vam,
+                        jnp.asarray(sub_mask), a_vam, None, vmask_d,
                         n_valid=len(lv.members), efc=efc, m_fwd=m,
                         metric=points.metric,
                     )
@@ -717,12 +740,28 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
                     entry_d = jnp.where(
                         (upd > 0)[:, None], ent_new[:, None], entry_d)
                 else:
+                    # level-0 steady batches: multi-expansion (cuts the
+                    # ~efc sequential steps ~expand-fold) + the per-batch
+                    # inline rebuild for wide batches (grouped Pallas DMA
+                    # instead of XLA row gathers) — the Vamana read-phase
+                    # economics applied to the HNSW insert search
+                    il = None
+                    expv = 1
+                    if l == 0 and len(lv.members) > 8192:
+                        expv = int(_os.environ.get(
+                            "PARLAYANN_HNSW_EXPAND", "4"))
+                        if (jax.default_backend() == "tpu"
+                                and int(ins_mask.sum()) >= 4096):
+                            from parlayann_tpu.build.vamana import (
+                                _build_inline_jit)
+
+                            il = _build_inline_jit(lv.points_l, lv.nbrs)
                     lv.nbrs, lv.degs, entry_next = _insert_at_level_dev(
                         lv.points_l, lv.nbrs, lv.degs, lv.members_d,
                         lv.glob2loc_d, build_ps.data, bg_d, entry_d,
-                        jnp.asarray(ins_mask), a_vam,
+                        jnp.asarray(ins_mask), a_vam, il, vmask_d,
                         n_valid=len(lv.members), efc=efc, m_fwd=m,
-                        metric=points.metric,
+                        metric=points.metric, expand=expv,
                     )
                     entry_d = jnp.where(
                         jnp.asarray(ins_mask)[:, None], entry_next[:, None],
@@ -737,6 +776,7 @@ def build_hnsw_graph(points: PointSet, bp: BuildParams,
             ent_level = top
         elif top == ent_level and highest not in entrances:
             entrances.append(highest)
+        ins_flag[batch] = True
         if verbose and bi % 8 == 0:
             print(f"hnsw: batch {bi+1}/{len(bounds)}", flush=True)
 

@@ -61,6 +61,11 @@ run vam10m       python scripts/bench_10m_vamana.py
 # fixed in ops/pallas/expand.py)
 run mips2_u8 python scripts/bench_mips_u8.py
 
+# (7b) high-recall curve: bigger-m cluster configs (the .96-.98 regime
+# trails the baseline's .971 @ 956K; r3 leftover "bigger-m unexplored")
+run cluster_m128 CB_M=128 python scripts/bench_cluster.py
+run cluster_m96  CB_M=96  python scripts/bench_cluster.py
+
 # (8b) jlbit re-run (queue1 run predates the SMEM chunking fix)
 run jlbit2 WHICH=jlbit python scripts/bench_1m_tiers.py
 
