@@ -335,9 +335,16 @@ def expand_bits_flat(
     if B != B0:
         qt = jnp.pad(qt, ((0, B - B0), (0, 0)))
         expand_ids = jnp.pad(expand_ids, (0, B - B0))
-    group = max(1, min(group, block_b))
+    # multi-word rows (rws > 1) store (group, 128) f32 slices at dynamic
+    # row offset g*group with a nonzero lane offset; Mosaic requires the
+    # dynamic row offset sublane-aligned ("dynamic store with unaligned
+    # indices", hit by the 256-bit JL tier at 1M) — keep group a
+    # multiple of 8
+    group = max(8 if rws > 1 else 1, min(group, block_b))
+    if rws > 1 and group % 8:
+        group = ((group + 7) // 8) * 8
     while block_b % group:
-        group -= 1
+        group -= 8 if rws > 1 and group > 8 else 1
     n_buf = min(n_buf, block_b // group)
     if jax.default_backend() != "tpu":
         interpret = True
