@@ -58,12 +58,12 @@ def _entry_top1(q, evecs, eids, *, metric: Metric):
     jax.jit,
     static_argnames=("metric", "tier_bits", "k", "L", "cut", "limit",
                      "n_valid", "pool", "ladder_spec", "use_entry",
-                     "dedup"),
+                     "dedup", "fused_e"),
 )
 def _fused_search_1d(
     q_full, evecs, eids, starts, slope, offset, tier_data, ext,
     points_full, *, metric, tier_bits, k, L, cut, limit, n_valid, pool,
-    ladder_spec, use_entry, dedup="loop",
+    ladder_spec, use_entry, dedup="loop", fused_e=1,
 ):
     """The whole fused-path search as ONE jitted program: entry top-1 (or
     caller starts) -> query translation into the tier domain -> fused
@@ -85,7 +85,7 @@ def _fused_search_1d(
     fid, fdist, nv, cmps, n_left = beam_search_fused(
         q_t.astype(jnp.float32), tier_data, ext, starts, metric=metric,
         n_valid=n_valid, k=k, L=L, cut=cut, limit=limit,
-        ladder_spec=ladder_spec, dedup=dedup,
+        ladder_spec=ladder_spec, dedup=dedup, expand=fused_e,
     )
     ids, dists = rerank_topk(
         qf, points_full, fid, k=k, pool=pool, metric=metric,
@@ -403,6 +403,9 @@ class Index:
                     # resolved per CALL (not per trace): flipping the env
                     # mid-process re-keys the jit cache (ADVICE r4)
                     dedup=os.environ.get("PARLAYANN_DEDUP", "loop"),
+                    # fused multi-expansion (E nearest workable per step;
+                    # E>1 forces merge dedup in-kernel)
+                    fused_e=int(os.environ.get("PARLAYANN_FUSED_E", "1")),
                 )
                 res = FusedResult(ids, dists, nv, cmps, n_left)
                 return ids, dists, res

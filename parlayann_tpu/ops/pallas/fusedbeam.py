@@ -233,18 +233,18 @@ def _pack_factor(width, block_b):
 
 
 def _step_kernel(
-    exp_ref,  # scalar prefetch: (B,) int32 vertex to expand (-1 = none)
+    exp_ref,  # scalar prefetch: (B*E,) int32 vertices to expand (-1 = none)
     q_ref,  # (block_b, d) f32
     bdist_ref,  # (block_b, Wb) f32
     bpack_ref,  # (block_b, Wb) int32
     nv_ref,  # (block_b, 1) int32
     cmps_ref,  # (block_b, 1) int32
-    expv_ref,  # (block_b, 1) int32 — exp_ids again, as a vector block
+    expv_ref,  # (block_b, E) int32 — exp_ids again, as a vector block
     inline_hbm,  # (n_pad, R8 + 8, d) int8, ANY
     obdist, obpack, onv, ocmps, onext,  # outputs
     vmem, sems, cdbuf, cibuf,  # scratch
     *, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit, block_b, G, n_buf,
-    ablate="full", dedup="loop",
+    ablate="full", dedup="loop", E=1,
 ):
     bi = pl.program_id(0)
     n_grp = block_b // G
@@ -262,8 +262,11 @@ def _step_kernel(
     # — a skipped issue would hang the next block's waits)
     n_active = jnp.sum((expv_ref[:] >= 0).astype(jnp.int32))
 
+    # E expansions per query per step: the DMA group covers G queries x E
+    # rows; exp_ref is the (B, E) expansion table flattened row-major, so
+    # group gg's j-th copy (j = jq*E + je) reads exp_ref[gg*G*E + j]
     def dma(slot, gg, j):
-        v = exp_ref[gg * G + j]
+        v = exp_ref[gg * G * E + j]
         # clamp hard: an out-of-range address faults the TPU worker
         vc = jnp.clip(v, 0, inline_hbm.shape[0] - 1)
         return v, pltpu.make_async_copy(
@@ -311,7 +314,7 @@ def _step_kernel(
         @pl.when(gg < n_grp_total)
         def _():
             slot = jax.lax.rem(gg, n_buf)
-            for j in range(G):
+            for j in range(G * E):
                 dma_start(slot, gg, j)
 
     # warm the ring on the first grid block only; every later block's
@@ -338,7 +341,7 @@ def _step_kernel(
         for s in range(n_buf):
             gg = g0 + s
             slot = jax.lax.rem(gg, n_buf)
-            for j in range(G):
+            for j in range(G * E):
                 dma_wait(slot, gg, j)
             lookahead(gg + n_grp)
 
@@ -351,7 +354,7 @@ def _step_kernel(
             bi=bi, g0=g0,
             R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
             metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
-            n_buf=n_buf, ablate=ablate, dedup=dedup,
+            n_buf=n_buf, ablate=ablate, dedup=dedup, E=E,
         )
 
 
@@ -360,7 +363,7 @@ def _step_body(
     inline_hbm, obdist, obpack, onv, ocmps, onext,
     vmem, sems, cdbuf, cibuf, dma_start, dma_wait, lookahead,
     *, bi, g0, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit, block_b,
-    G, n_buf, ablate, dedup="loop",
+    G, n_buf, ablate, dedup="loop", E=1,
 ):
     n_grp = block_b // G
 
@@ -368,49 +371,65 @@ def _step_body(
     def loop(g, _):
         gg = g0 + g
         slot = jax.lax.rem(gg, n_buf)
-        for j in range(G):
+        for j in range(G * E):
             dma_wait(slot, gg, j)
-        rows = vmem[slot]  # (G, R8 + 8, d) int8
+        rows = vmem[slot]  # (G*E, R8 + 8, d) int8
         sl = pl.ds(g * G, G)
         q = q_ref[sl, :]  # (G, d) f32
+        # merge the leading (untiled) dims so expansion e of query jq is
+        # a sublane block: (G*E, R8+8, d) -> (G, E*(R8+8), d)
+        rr = rows.reshape(G, E * (R8 + 8), d) if E > 1 else rows
 
-        # candidate ids from the byte planes
-        b0 = rows[:, R8 + 0, :].astype(jnp.int32) & 0xFF  # (G, d)
-        b1 = rows[:, R8 + 1, :].astype(jnp.int32) & 0xFF
-        b2 = rows[:, R8 + 2, :].astype(jnp.int32) & 0xFF
-        b3 = rows[:, R8 + 3, :].astype(jnp.int32) & 0xFF
-        cid_d = b0 + (b1 << 8) + (b2 << 16) + (b3 << 24)  # (G, d)
-        # lanes >= R8 hold zero planes (id 0, NOT -1): mask them invalid
+        # candidate ids from the byte planes, per expansion copy
         lane_d = jax.lax.broadcasted_iota(jnp.int32, (G, d), 1)
-        cid = jnp.where(lane_d < R8, cid_d, -1)[:, :R8]
+        cid_parts = []
+        vec_parts = []
+        for e in range(E):
+            base = e * (R8 + 8) if E > 1 else 0
+            src = rr if E > 1 else rows
+            b0 = src[:, base + R8 + 0, :].astype(jnp.int32) & 0xFF  # (G, d)
+            b1 = src[:, base + R8 + 1, :].astype(jnp.int32) & 0xFF
+            b2 = src[:, base + R8 + 2, :].astype(jnp.int32) & 0xFF
+            b3 = src[:, base + R8 + 3, :].astype(jnp.int32) & 0xFF
+            cid_d = b0 + (b1 << 8) + (b2 << 16) + (b3 << 24)  # (G, d)
+            # lanes >= R8 hold zero planes (id 0, NOT -1): mask invalid
+            cid_e = jnp.where(lane_d < R8, cid_d, -1)[:, :R8]
+            if Rp != R8:
+                cid_e = jnp.concatenate(
+                    [cid_e, jnp.full((G, Rp - R8), -1, jnp.int32)], axis=1)
+            cid_parts.append(cid_e)
+            if ablate != "nocompute":
+                vec_parts.append(src[:, base:base + R8, :])
+        cid = (jnp.concatenate(cid_parts, axis=1) if E > 1
+               else cid_parts[0])  # (G, E*Rp)
 
         # candidate distances
         if ablate == "nocompute":
-            cd = jnp.zeros((G, R8), jnp.float32)
+            cd = jnp.zeros((G, E * Rp), jnp.float32)
         else:
-            vecs = rows[:, :R8, :].astype(jnp.float32)  # (G, R8, d)
+            vecs = (jnp.concatenate(vec_parts, axis=1) if E > 1
+                    else vec_parts[0]).astype(jnp.float32)  # (G, E*R8, d)
             if metric is Metric.MIPS:
                 prod = vecs * q[:, None, :]
             else:
                 diff = vecs - q[:, None, :]
                 prod = diff * diff
-            # contract d on the MXU (ones-matvec): a (G*R8, d) @ (d, 1)
+            # contract d on the MXU (ones-matvec): a (G*E*R8, d) @ (d, 1)
             # matmul is ~3x cheaper than the VPU's log2(d) lane-reduce
             cd = jax.lax.dot_general(
-                prod.reshape(G * R8, d), jnp.ones((d, 1), jnp.float32),
+                prod.reshape(G * E * R8, d), jnp.ones((d, 1), jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(G, R8)
+            ).reshape(G, E * R8)
             if metric is Metric.MIPS:
                 cd = -cd
-
-        if Rp != R8:
-            cd = jnp.concatenate(
-                [cd, jnp.full((G, Rp - R8), _INF)], axis=1
-            )
-            cid = jnp.concatenate(
-                [cid, jnp.full((G, Rp - R8), -1, jnp.int32)], axis=1
-            )
+            if Rp != R8:
+                # re-segment (G, E*R8) -> (G, E*Rp) with INF pad per copy
+                cd = jnp.concatenate(
+                    [jnp.concatenate(
+                        [cd[:, e * R8:(e + 1) * R8],
+                         jnp.full((G, Rp - R8), _INF)], axis=1)
+                     for e in range(E)], axis=1)
         cdbuf[sl, :] = cd
         cibuf[sl, :] = cid
 
@@ -426,8 +445,12 @@ def _step_body(
     bpack = bpack_ref[:]
     nv = nv_ref[:]  # (block_b, 1)
     cmps = cmps_ref[:]
-    exp_ok = expv_ref[:] >= 0  # (block_b, 1)
-    cd = cdbuf[:]  # (block_b, Rp)
+    expv = expv_ref[:]  # (block_b, E)
+    # a row is active if ANY of its E expansion slots is live; slot e's
+    # candidate columns [e*Rp, (e+1)*Rp) are additionally masked by that
+    # slot's own validity (a row may expand only 1 of E near convergence)
+    exp_ok = jnp.any(expv >= 0, axis=1, keepdims=True)  # (block_b, 1)
+    cd = cdbuf[:]  # (block_b, E*Rp)
     cid = cibuf[:]
 
     if ablate in ("dmaonly", "nocompute"):
@@ -443,9 +466,16 @@ def _step_body(
 
     lane_wb = jax.lax.broadcasted_iota(jnp.int32, (block_b, Wb), 1)
     lane_wb_f = lane_wb.astype(jnp.float32)
-    lane_rp = jax.lax.broadcasted_iota(jnp.int32, (block_b, Rp), 1)
+    Rpa = E * Rp  # total candidate lanes
+    lane_rp = jax.lax.broadcasted_iota(jnp.int32, (block_b, Rpa), 1)
 
-    cvalid = (cid >= 0) & (cid < n_valid) & exp_ok
+    if E > 1:
+        eval_cols = jnp.concatenate(
+            [jnp.broadcast_to(expv[:, e:e + 1] >= 0, (block_b, Rp))
+             for e in range(E)], axis=1)
+    else:
+        eval_cols = jnp.broadcast_to(exp_ok, (block_b, Rpa))
+    cvalid = (cid >= 0) & (cid < n_valid) & eval_cols
     cmps_new = cmps + jnp.sum(cvalid.astype(jnp.int32), axis=1, keepdims=True)
 
     # frontier-full cutoff (beamSearch.h:150-159)
@@ -468,6 +498,11 @@ def _step_body(
     #     case) + one segmented cleanup sort — O(log^2) packed stages
     #     instead of Wb unpacked passes.
     _dedup = dedup
+    if E > 1:
+        # the E expanded rows' neighborhoods can OVERLAP: only the
+        # post-merge adjacent dedup can collapse candidate-candidate
+        # duplicates, so multi-expansion forces merge mode
+        _dedup = "merge"
     if _dedup != "merge":
         bid = jax.lax.shift_right_logical(bpack, 1)
         dup = jnp.zeros(cd.shape, bool)
@@ -481,19 +516,19 @@ def _step_body(
     # Packed: Pc row-blocks share each 128-lane vreg (PARLAYANN_PACKB=0
     # restores the unpacked layout for A/B).
     _packb = os.environ.get("PARLAYANN_PACKB", "1") == "1"
-    Pc = _pack_factor(Rp, block_b) if _packb else 1
+    Pc = _pack_factor(Rpa, block_b) if _packb else 1
     if Pc > 1:
         negd_p, cpack_p = bitonic_sort(
             _pack_lanes(-cd, Pc), _pack_lanes(cpack, Pc),
-            seg=Rp, roll=_kroll,
+            seg=Rpa, roll=_kroll,
         )
         negd = _unpack_lanes(negd_p, Pc)
         cpack_s = _unpack_lanes(cpack_p, Pc)
     else:
         negd, cpack_s = bitonic_sort(-cd, cpack, roll=_kroll)
-    c_take = min(Wb, Rp)
-    cdp = -negd[:, Rp - c_take:]  # (block_b, c_take) smallest, descending
-    cpp = cpack_s[:, Rp - c_take:]
+    c_take = min(Wb, Rpa)
+    cdp = -negd[:, Rpa - c_take:]  # (block_b, c_take) smallest, descending
+    cpp = cpack_s[:, Rpa - c_take:]
     # [beam asc (Wb) | +INF plateau | candidates desc (c_take)] is one
     # bitonic sequence of 2*Wb lanes; a single log2(2*Wb)-stage merge
     # finishes ascending order
@@ -503,7 +538,7 @@ def _step_body(
     if pad:
         lane_pad = jax.lax.broadcasted_iota(jnp.int32, (block_b, pad), 1)
         parts_d.append(jnp.full((block_b, pad), _INF))
-        parts_p.append((n_valid + Rp + lane_pad) * 2 + 1)
+        parts_p.append((n_valid + Rpa + lane_pad) * 2 + 1)
     parts_d.append(cdp)
     parts_p.append(cpp)
     mdist = jnp.concatenate(parts_d, axis=1)  # (block_b, 2*Wb)
@@ -516,7 +551,7 @@ def _step_body(
         )
         if _dedup == "merge":
             ndist_p, npack_p = _dedup_merged(
-                ndist_p, npack_p, seg=2 * Wb, n_valid=n_valid, Rp=Rp,
+                ndist_p, npack_p, seg=2 * Wb, n_valid=n_valid, Rp=Rpa,
                 roll=_kroll,
             )
         ndist = _unpack_lanes(ndist_p, Pm)
@@ -525,13 +560,14 @@ def _step_body(
         ndist, npack = bitonic_merge(mdist, mpack, roll=_kroll)
         if _dedup == "merge":
             ndist, npack = _dedup_merged(
-                ndist, npack, seg=2 * Wb, n_valid=n_valid, Rp=Rp,
+                ndist, npack, seg=2 * Wb, n_valid=n_valid, Rp=Rpa,
                 roll=_kroll,
             )
     ndist = ndist[:, :Wb]
     npack = npack[:, :Wb]
     ndist = jnp.where(lane_wb < L, ndist, _INF)
-    npack = jnp.where(lane_wb < L, npack, (n_valid + 2 * Rp + lane_wb) * 2 + 1)
+    npack = jnp.where(lane_wb < L, npack,
+                      (n_valid + 2 * Rpa + lane_wb) * 2 + 1)
 
     # ---- next expansion + cut-rule convergence (beamSearch.h:185) ----
     unexp = ((npack & 1) == 1) & (ndist < _INF)
@@ -544,20 +580,31 @@ def _step_body(
     has_work = jnp.max(
         workable.astype(jnp.int32), axis=1, keepdims=True
     ) > 0
-    nv_new = nv + exp_ok.astype(jnp.int32)
+    nv_new = nv + jnp.sum((expv >= 0).astype(jnp.int32), axis=1,
+                          keepdims=True)
     done_new = ~exp_ok | ~has_work | (nv_new >= limit)  # (block_b, 1)
-    first = jnp.min(
-        jnp.where(workable, lane_wb_f, float(2 * Wb)), axis=1, keepdims=True
-    )
     nid = jax.lax.shift_right_logical(npack, 1)
-    nxt = jnp.sum(
-        jnp.where(lane_wb_f == first, nid, 0), axis=1, keepdims=True
-    ).astype(jnp.int32)
-    nxt = jnp.where(done_new, -1, nxt)
-    # mark the chosen entry expanded NOW (the packed bit flips) so the
-    # next step's kernel sees it as expanded
-    flip = (lane_wb_f == first) & ~done_new
-    npack = npack - flip.astype(jnp.int32)
+    # select the E nearest workable entries (slot 0 = nearest); a row
+    # with fewer than E workable entries emits -1 in the tail slots and
+    # stays active through slot 0
+    nxt_slots = []
+    work_rem = workable
+    for e in range(E):
+        first = jnp.min(
+            jnp.where(work_rem, lane_wb_f, float(2 * Wb)), axis=1,
+            keepdims=True,
+        )
+        got = first < float(2 * Wb)
+        nxt_e = jnp.sum(
+            jnp.where(lane_wb_f == first, nid, 0), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        take = got & ~done_new
+        nxt_slots.append(jnp.where(take, nxt_e, -1))
+        flip = (lane_wb_f == first) & take
+        npack = npack - flip.astype(jnp.int32)
+        work_rem = work_rem & (lane_wb_f != first)
+    nxt = (jnp.concatenate(nxt_slots, axis=1) if E > 1
+           else nxt_slots[0])  # (block_b, E)
 
     # frozen queries pass through unchanged
     obdist[:] = jnp.where(exp_ok, ndist, bdist)
@@ -571,10 +618,10 @@ def _step_body(
     jax.jit,
     static_argnames=("R8", "Rp", "d", "Wb", "L", "k", "n_valid", "metric",
                      "cut", "limit", "block_b", "G", "n_buf", "interpret",
-                     "ablate", "dedup"),
+                     "ablate", "dedup", "E"),
 )
 def fused_step(
-    exp_ids,  # (B,) int32 (-1 = frozen)
+    exp_ids,  # (B,) or (B, E) int32 (-1 = frozen)
     queries,  # (B, d) f32
     bdist,  # (B, Wb) f32
     bpack,  # (B, Wb) int32
@@ -583,18 +630,21 @@ def fused_step(
     inline_ext,  # (n_pad, R8 + 8, d) int8
     *, R8, Rp, d, Wb, L, k, n_valid, metric, cut, limit,
     block_b=512, G=16, n_buf=8, interpret=False, ablate="full",
-    dedup="loop",
+    dedup="loop", E=1,
 ):
     B = queries.shape[0]
+    if exp_ids.ndim == 1:
+        exp_ids = exp_ids[:, None]
+    assert exp_ids.shape[1] == E
     if jax.default_backend() != "tpu":
         interpret = True
     block_b = max(G, (min(block_b, B) // G) * G)
-    block_b = _auto_block(block_b, G, Wb, Rp)
+    block_b = _auto_block(block_b, G, Wb, E * Rp)
     n_buf = min(n_buf, block_b // G)  # ring must fit inside one block
     kernel = functools.partial(
         _step_kernel, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
         metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
-        n_buf=n_buf, ablate=ablate, dedup=dedup,
+        n_buf=n_buf, ablate=ablate, dedup=dedup, E=E,
     )
     grid = (B // block_b,)
 
@@ -608,16 +658,16 @@ def fused_step(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                bspec(d), bspec(Wb), bspec(Wb), bspec(1), bspec(1), bspec(1),
+                bspec(d), bspec(Wb), bspec(Wb), bspec(1), bspec(1), bspec(E),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[bspec(Wb), bspec(Wb), bspec(1), bspec(1), bspec(1)],
+            out_specs=[bspec(Wb), bspec(Wb), bspec(1), bspec(1), bspec(E)],
             scratch_shapes=[
-                pltpu.VMEM((n_buf, G, inline_ext.shape[1], d),
+                pltpu.VMEM((n_buf, G * E, inline_ext.shape[1], d),
                            inline_ext.dtype),
-                pltpu.SemaphoreType.DMA((n_buf, G)),
-                pltpu.VMEM((block_b, Rp), jnp.float32),
-                pltpu.VMEM((block_b, Rp), jnp.int32),
+                pltpu.SemaphoreType.DMA((n_buf, G * E)),
+                pltpu.VMEM((block_b, E * Rp), jnp.float32),
+                pltpu.VMEM((block_b, E * Rp), jnp.int32),
             ],
         ),
         out_shape=[
@@ -625,18 +675,18 @@ def fused_step(
             jax.ShapeDtypeStruct((B, Wb), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, E), jnp.int32),
         ],
         interpret=interpret,
-    )(exp_ids, queries, bdist, bpack, nv, cmps,
-      exp_ids.reshape(B, 1), inline_ext)
+    )(exp_ids.reshape(B * E), queries, bdist, bpack, nv, cmps,
+      exp_ids, inline_ext)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "n_valid", "k", "L", "cut", "limit",
                      "max_steps", "block_b", "G", "n_buf", "compact",
-                     "ladder_spec", "dedup"),
+                     "ladder_spec", "dedup", "expand"),
 )
 def beam_search_fused(
     queries,  # (B, d) — queries in the TIER's domain, f32 values
@@ -657,6 +707,7 @@ def beam_search_fused(
     compact: bool = True,
     ladder_spec: tuple = (),
     dedup: str = "loop",
+    expand: int = 1,
 ):
     """Drive ``fused_step`` to convergence -> (beam_ids (B, L) int32,
     beam_dists (B, L) f32, num_visited, dist_cmps, n_left). The while loop
@@ -677,6 +728,9 @@ def beam_search_fused(
     Wb = _pow2(max(L, 8))
     limit = min(limit, n_valid)
     max_steps = max_steps or limit
+    E = max(1, int(expand))
+    if E > 1:
+        max_steps = -(-max_steps // E) + 2
 
     if starts.ndim == 1:
         starts = jnp.broadcast_to(starts[None, :], (B0, starts.shape[0]))
@@ -686,7 +740,7 @@ def beam_search_fused(
     # pad the batch to a block multiple: unprocessed tail rows would feed
     # garbage expand ids (= DMA addresses) into the next step
     block_b = max(G, min(block_b, ((B0 + G - 1) // G) * G))
-    block_b = _auto_block(block_b, G, Wb, Rp)
+    block_b = _auto_block(block_b, G, Wb, E * Rp)
     B = ((B0 + block_b - 1) // block_b) * block_b
     if B != B0:
         queries = jnp.pad(queries, ((0, B - B0), (0, 0)))
@@ -735,20 +789,26 @@ def beam_search_fused(
     cmps = jnp.sum(sv, axis=1, dtype=jnp.int32).reshape(B, 1)
 
     def select_first(bdist, bpack, nv):
+        # pick the E nearest workable entries (slot 0 = nearest; -1 pads)
         unexp = ((bpack & 1) == 1) & (bdist < _INF) & (lane < L)
         if k > 0 and metric.is_metric and k < L:
             thr = jnp.minimum(cut * bdist[:, k], _INF)
             workable = unexp & (bdist < thr[:, None])
         else:
             workable = unexp
-        first = jnp.argmax(workable, axis=1)
-        any_w = jnp.any(workable, axis=1) & (nv[:, 0] < limit)
-        eid = jnp.take_along_axis(
-            jax.lax.shift_right_logical(bpack, 1), first[:, None], axis=1
-        )[:, 0]
-        exp_ids = jnp.where(any_w, eid, -1).astype(jnp.int32)
-        flip = (lane == first[:, None]) & any_w[:, None]
-        return exp_ids, bpack - flip.astype(jnp.int32)
+        under = nv[:, 0] < limit
+        slots = []
+        for _e in range(E):
+            first = jnp.argmax(workable, axis=1)
+            any_w = jnp.any(workable, axis=1) & under
+            eid = jnp.take_along_axis(
+                jax.lax.shift_right_logical(bpack, 1), first[:, None],
+                axis=1)[:, 0]
+            slots.append(jnp.where(any_w, eid, -1).astype(jnp.int32))
+            flip = (lane == first[:, None]) & any_w[:, None]
+            bpack = bpack - flip.astype(jnp.int32)
+            workable = workable & ~flip
+        return jnp.stack(slots, axis=1), bpack
 
     exp_ids, bpack = select_first(bdist, bpack, nv)
 
@@ -759,7 +819,7 @@ def beam_search_fused(
         step = functools.partial(
             fused_step, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
             metric=metric, cut=cut, limit=limit, block_b=blocks(width), G=G,
-            n_buf=n_buf, dedup=dedup,
+            n_buf=n_buf, dedup=dedup, E=E,
         )
 
         def cond(state):
@@ -769,7 +829,7 @@ def beam_search_fused(
         def body(state):
             t, e, bd, bp, nvv, cm = state
             bd, bp, nvv, cm, nxt = step(e, q, bd, bp, nvv, cm, inline_ext)
-            return (t + 1, nxt[:, 0], bd, bp, nvv, cm)
+            return (t + 1, nxt, bd, bp, nvv, cm)
 
         _, exp_ids, bdist, bpack, nv, cmps = jax.lax.while_loop(
             cond, body, (jnp.int32(0), exp_ids, bdist, bpack, nv, cmps)
@@ -786,9 +846,10 @@ def beam_search_fused(
     if ladder_spec:
         spec = ladder_spec
     elif B0 >= 4096:
-        spec = ((1, L + 2), (4, L), (16, max_steps))
+        spec = ((1, -(-L // E) + 2), (4, -(-L // E)), (16, max_steps))
     else:
-        spec = ((1, L + 8), (4, 2 * L + 16), (16, max_steps))
+        spec = ((1, -(-L // E) + 8), (4, 2 * -(-L // E) + 16),
+                (16, max_steps))
     if compact and B >= 2 * block_b and max_steps > spec[0][1]:
         # ladder_spec: ((div, budget), ...) — stage i runs ceil(B/div)
         # rows (block-rounded) for ``budget`` steps. Widths must cover the
@@ -812,7 +873,7 @@ def beam_search_fused(
     for i, (w, budget) in enumerate(ladder):
         if i > 0:
             # stable sort: still-active queries to the front
-            key = (exp_ids < 0).astype(jnp.int32)
+            key = jnp.all(exp_ids < 0, axis=1).astype(jnp.int32)
             _, perm = jax.lax.sort(
                 (key, jnp.arange(B, dtype=jnp.int32)), num_keys=1,
                 is_stable=True,
@@ -839,7 +900,8 @@ def beam_search_fused(
             nv = nv.at[:w].set(nv_s)
             cmps = cmps.at[:w].set(cm_s)
 
-    n_left = jnp.sum((exp_ids >= 0) & (order < B0)).astype(jnp.int32)
+    n_left = jnp.sum(
+        jnp.any(exp_ids >= 0, axis=1) & (order < B0)).astype(jnp.int32)
     if len(ladder) > 1:
         # un-permute back to caller order
         _, inv = jax.lax.sort(

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-5 TPU queue #3: fused multi-expansion A/B (+ anything appended
+# before it starts). Chained after queue2.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+mkdir -p tpu_logs
+
+run() {
+  local name="$1"; shift
+  echo "=== [$(date +%H:%M:%S)] START $name: $*"
+  timeout 7200 env "$@" > "tpu_logs/r5_${name}.log" 2>&1
+  local rc=$?
+  echo "=== [$(date +%H:%M:%S)] DONE  $name rc=$rc"
+  tail -5 "tpu_logs/r5_${name}.log" | sed 's/^/    /'
+}
+
+run fusede1 PARLAYANN_FUSED_E=1 python scripts/diag_fused_e.py
+run fusede2 PARLAYANN_FUSED_E=2 python scripts/diag_fused_e.py
+run fusede4 PARLAYANN_FUSED_E=4 python scripts/diag_fused_e.py
+
+echo "=== [$(date +%H:%M:%S)] QUEUE3 COMPLETE"

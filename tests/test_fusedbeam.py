@@ -286,3 +286,45 @@ def test_fused_beam_dedup_modes_agree(rng):
         valid = mi[b][mi[b] >= 0]
         assert len(valid) == len(set(valid.tolist())), b
         assert set(valid[:k]) == set(li[b][li[b] >= 0][:k]), b
+
+
+def test_fused_beam_expand2(rng):
+    """E=2 multi-expansion: per step the kernel expands the TWO nearest
+    workable entries (DMA doubles, sequential steps ~halve). The walk
+    visits a superset-ish frontier vs E=1, so beams are compared by
+    quality, not bit-equality: same-or-better recall against the XLA
+    reference beam, duplicate-free sorted results, full convergence."""
+    n, d, R, B, L, k = 600, 64, 16, 48, 16, 10
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    ps = PointSet.from_numpy(X)
+    qps = quantize.quantize_pointset(ps, bits=8)
+    nbrs = np.empty((n, R), np.int32)
+    for i in range(n):
+        nbrs[i] = rng.choice(n, R, replace=False)
+    nbrs = jnp.asarray(nbrs)
+    degs = jnp.full((n,), R, jnp.int32)
+    Qf = rng.standard_normal((B, d)).astype(np.float32)
+    q_t = quantize.translate_query(jnp.asarray(Qf), qps).astype(jnp.float32)
+    starts = jnp.zeros((1,), jnp.int32)
+    ext = build_inline_ext(qps.data, nbrs, degs)
+
+    ref = beam_search_batch(
+        q_t, qps.data, nbrs, degs, starts,
+        metric=Metric.L2, n_valid=n, k=k, L=L, use_inline=False,
+    )
+    fid, fdist, fnv, fcmps, n_left = beam_search_fused(
+        q_t, qps.data, ext, starts,
+        metric=Metric.L2, n_valid=n, k=k, L=L, G=8, block_b=48, expand=2,
+    )
+    assert int(n_left) == 0
+    fid = np.asarray(fid)
+    fdist = np.asarray(fdist)
+    rd = np.asarray(ref.beam_dists)[:, :k]
+    hits = 0
+    for b in range(B):
+        valid = fid[b][fid[b] >= 0]
+        assert len(valid) == len(set(valid.tolist())), b
+        assert np.all(np.diff(fdist[b][fdist[b] < 1e37]) >= 0), b
+        # top-k dist mass no worse than the E=1 reference walk's
+        hits += int(np.sum(fdist[b, :k] <= rd[b, k - 1] * (1 + 1e-5)))
+    assert hits >= int(0.95 * B * k), hits / (B * k)
