@@ -534,9 +534,13 @@ def _insert_at_level_dev(
         # ``expand`` > 1 amortizes the ~efc sequential single-expansion
         # steps (the same batched-expansion economics as the Vamana
         # build's PARLAYANN_BUILD_EXPAND); ``inline`` converts the
-        # candidate fetch from XLA row gathers to grouped Pallas DMA
+        # candidate fetch from XLA row gathers to grouped Pallas DMA.
+        # The expand kernel needs f32 queries (Mosaic cannot row-load
+        # int8 queries; an uncast int8 q8 tier produced garbage builds —
+        # recall .27 on the first device run)
+        qb = q.astype(jnp.float32) if inline is not None else q
         res = beam_search_batch(
-            q, lv_points, lv_nbrs, lv_degs, starts, loc,
+            qb, lv_points, lv_nbrs, lv_degs, starts, loc,
             inline=inline,
             metric=metric, n_valid=n_valid, k=0, L=efc,
             exclude_self=True, expand=expand,

@@ -15,6 +15,10 @@ run() {
   tail -5 "tpu_logs/r5_${name}.log" | sed 's/^/    /'
 }
 
+# HNSW re-validation: queue2's runs hit the uncast-int8-query inline bug
+run hnsw3_q8    WHICH=hnsw HNSW_Q8=1 HNSW_CAP=0.02 python scripts/bench_builders.py
+run hnsw3_q8cap WHICH=hnsw HNSW_Q8=1 HNSW_CAP=0.08 python scripts/bench_builders.py
+
 run fusede1 PARLAYANN_FUSED_E=1 python scripts/diag_fused_e.py
 run fusede2 PARLAYANN_FUSED_E=2 python scripts/diag_fused_e.py
 run fusede4 PARLAYANN_FUSED_E=4 python scripts/diag_fused_e.py
