@@ -539,12 +539,17 @@ def _insert_at_level_dev(
         # int8 queries; an uncast int8 q8 tier produced garbage builds —
         # recall .27 on the first device run)
         qb = q.astype(jnp.float32) if inline is not None else q
+        # expand_group=8: the level-0 cap (2m = 40 lanes) is a partial
+        # vreg width, and Mosaic refuses the (group, 40) f32 store at a
+        # dynamic x4 row offset ("cannot statically prove that index in
+        # dimension 0 is a multiple of 8") — a sublane-aligned group
+        # makes the offset provable (Vamana's R8=32 layout tolerates 4)
         res = beam_search_batch(
             qb, lv_points, lv_nbrs, lv_degs, starts, loc,
             inline=inline,
             metric=metric, n_valid=n_valid, k=0, L=efc,
             exclude_self=True, expand=expand,
-            use_inline=inline is not None, expand_group=4,
+            use_inline=inline is not None, expand_group=8,
         )
         beam_ids, beam_dists = res.beam_ids, res.beam_dists
     # forward edges: alpha-prune the efc frontier (select_neighbors)
