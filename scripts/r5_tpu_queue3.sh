@@ -23,4 +23,9 @@ run fusede1 PARLAYANN_FUSED_E=1 python scripts/diag_fused_e.py
 run fusede2 PARLAYANN_FUSED_E=2 python scripts/diag_fused_e.py
 run fusede4 PARLAYANN_FUSED_E=4 python scripts/diag_fused_e.py
 
+# high-beam collapse: steps*step_cost is O(Q^2); E-way expansion cuts the
+# step count E-fold at ~flat per-step growth (converged section reads
+# PARLAYANN_FUSED_E per call)
+run highbeam_e4 PARLAYANN_FUSED_E=4 QS=110,240,350 python scripts/diag_highbeam.py
+
 echo "=== [$(date +%H:%M:%S)] QUEUE3 COMPLETE"
