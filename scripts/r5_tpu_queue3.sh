@@ -28,4 +28,8 @@ run fusede4 PARLAYANN_FUSED_E=4 python scripts/diag_fused_e.py
 # PARLAYANN_FUSED_E per call)
 run highbeam_e4 PARLAYANN_FUSED_E=4 QS=110,240,350 python scripts/diag_highbeam.py
 
+# tier-filter A/B re-run (queue2 run died on a transient remote-compile
+# infrastructure error mid-sweep; graph+gt now cached)
+run tierfilter2 python scripts/bench_tier_filter.py
+
 echo "=== [$(date +%H:%M:%S)] QUEUE3 COMPLETE"
