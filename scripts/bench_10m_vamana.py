@@ -63,7 +63,7 @@ def main():
     R = int(os.environ.get("VAMANA_R", 32))
     L = int(os.environ.get("VAMANA_L", 64))
     cap = float(os.environ.get("CAP", "0.04"))
-    qs = [int(x) for x in os.environ.get("QS", "10,15,22,33,50").split(",")]
+    qs = [int(x) for x in os.environ.get("QS", "22,50,80,120,180").split(",")]
     n_centers = max(64, n // 100)
     std = 0.35
     log(f"devices: {jax.devices()}  n={n} R={R} L={L}")
@@ -142,9 +142,16 @@ def main():
 
     # ---- search: single-dispatch two-phase gather program + entry tier ----
     idx = Index(points=ps, graph=graph, qpoints=qps)
+    # the default 4K entry sample is far too sparse for 100K natural
+    # clusters (most blobs unseeded -> entry lands blobs away and the
+    # walk pays it: recall .32 @ Q=10 in the first run). One
+    # (B, E) matmul at E=64K is still ~1 ms of MXU time per 10K batch.
+    entry_e = int(os.environ.get("ENTRY_E", 65536))
+    idx.build_entry_cache(E=entry_e)
     Qd = jax.device_put(Qn)
     Qd.block_until_ready()
-    log("== search sweep (gather path, entry tier, q8 walk + rerank) ==")
+    log(f"== search sweep (gather path, entry E={entry_e}, q8 walk + "
+        "rerank) ==")
     for Lq in qs:
         best = 1e9
         out = None

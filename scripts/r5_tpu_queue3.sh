@@ -28,6 +28,10 @@ run fusede4 PARLAYANN_FUSED_E=4 python scripts/diag_fused_e.py
 # PARLAYANN_FUSED_E per call)
 run highbeam_e4 PARLAYANN_FUSED_E=4 QS=110,240,350 python scripts/diag_highbeam.py
 
+# 10M vamana re-sweep: graph cached (40-min build skipped), 64K entry
+# tier + wider beams (first sweep's 4K entry/Q<=50 capped recall at .64)
+run vam10m_sweep python scripts/bench_10m_vamana.py
+
 # tier-filter A/B re-run (queue2 run died on a transient remote-compile
 # infrastructure error mid-sweep; graph+gt now cached)
 run tierfilter2 python scripts/bench_tier_filter.py
