@@ -449,7 +449,7 @@ def _step_body(
     # a row is active if ANY of its E expansion slots is live; slot e's
     # candidate columns [e*Rp, (e+1)*Rp) are additionally masked by that
     # slot's own validity (a row may expand only 1 of E near convergence)
-    exp_ok = jnp.any(expv >= 0, axis=1, keepdims=True)  # (block_b, 1)
+    exp_ok = jnp.max(expv, axis=1, keepdims=True) >= 0  # (block_b, 1)
     cd = cdbuf[:]  # (block_b, E*Rp)
     cid = cibuf[:]
 
@@ -470,9 +470,13 @@ def _step_body(
     lane_rp = jax.lax.broadcasted_iota(jnp.int32, (block_b, Rpa), 1)
 
     if E > 1:
-        eval_cols = jnp.concatenate(
-            [jnp.broadcast_to(expv[:, e:e + 1] >= 0, (block_b, Rp))
+        # concatenate the int32 SOURCE, compare after: Mosaic cannot
+        # bitcast i1 vregs for a concat ("Invalid vector register
+        # cast" — same family as the i1-rotate limit in _dedup_merged)
+        ev_src = jnp.concatenate(
+            [jnp.broadcast_to(expv[:, e:e + 1], (block_b, Rp))
              for e in range(E)], axis=1)
+        eval_cols = ev_src >= 0
     else:
         eval_cols = jnp.broadcast_to(exp_ok, (block_b, Rpa))
     cvalid = (cid >= 0) & (cid < n_valid) & eval_cols
@@ -580,7 +584,7 @@ def _step_body(
     has_work = jnp.max(
         workable.astype(jnp.int32), axis=1, keepdims=True
     ) > 0
-    nv_new = nv + jnp.sum((expv >= 0).astype(jnp.int32), axis=1,
+    nv_new = nv + jnp.sum(jnp.where(expv >= 0, 1, 0), axis=1,
                           keepdims=True)
     done_new = ~exp_ok | ~has_work | (nv_new >= limit)  # (block_b, 1)
     nid = jax.lax.shift_right_logical(npack, 1)
