@@ -322,8 +322,11 @@ class Index:
             start_arr = jnp.asarray(rs, dtype=jnp.int32)
         elif self.use_entry and self.points.n >= self.entry_min_n:
             # entry-tier start: computed lazily — the fused path folds the
-            # top-1 matmul into its single dispatch (_fused_search_1d)
-            self.build_entry_cache()
+            # top-1 matmul into its single dispatch (_fused_search_1d).
+            # Never clobber a caller-built tier (build_entry_cache(E=64K)
+            # at 10M was silently rebuilt at the 4K default here)
+            if self.entry_ids is None:
+                self.build_entry_cache()
             entry_start = True
             start_arr = None
         else:

@@ -15,4 +15,9 @@ run() {
 run fusede2b PARLAYANN_FUSED_E=2 python scripts/diag_fused_e.py
 run fusede4b PARLAYANN_FUSED_E=4 python scripts/diag_fused_e.py
 run highbeam_e4b PARLAYANN_FUSED_E=4 QS=110,240,350 python scripts/diag_highbeam.py
+# 10M re-sweep: the 64K entry tier was silently clobbered back to 4K by
+# batch_search's lazy default (fixed in index.py) — the first "re-sweep"
+# measured the same 4K entries
+run vam10m_e64k QS=50,80,120,180,260 python scripts/bench_10m_vamana.py
+
 echo "=== [$(date +%H:%M:%S)] QUEUE4 COMPLETE"
