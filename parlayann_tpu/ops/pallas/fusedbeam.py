@@ -645,6 +645,11 @@ def fused_step(
     block_b = max(G, (min(block_b, B) // G) * G)
     block_b = _auto_block(block_b, G, Wb, E * Rp)
     n_buf = min(n_buf, block_b // G)  # ring must fit inside one block
+    # the (n_buf, G*E) DMA semaphore array lives in the ~2 KB sflag
+    # space: 512 sems at E=4/G=16/n_buf=8 overflow it ("Ran out of
+    # memory in memory space sflag") — shrink the ring, not the group
+    while n_buf > 2 and n_buf * G * E > 448:
+        n_buf //= 2
     kernel = functools.partial(
         _step_kernel, R8=R8, Rp=Rp, d=d, Wb=Wb, L=L, k=k, n_valid=n_valid,
         metric=metric, cut=cut, limit=limit, block_b=block_b, G=G,
